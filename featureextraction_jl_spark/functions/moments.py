@@ -1,0 +1,194 @@
+"""Streaming mean/covariance moment accumulation (SURVEY.md §2 op A3/A4).
+
+The reference accumulates (mean, covariance) over dense Float64 matrices with
+Julia ``Statistics.mean`` / ``Statistics.cov`` semantics (Bessel-corrected,
+n-1).  Here the accumulator is the *mergeable* centered-moment triple
+
+    (n, mean, M2)    with    M2 = sum_i (x_i - mean)(x_i - mean)^T
+
+merged pairwise with the Chan/Golub/LeVeque update (SURVEY.md §1.4.4), which
+is associative and commutative up to float round-off — this exactness under
+arbitrary splits is what makes skew salting (plans/salting.py) and
+treeAggregate partials correct.
+
+Two distributed strategies, both Arrow-vectorized (no per-row Python):
+
+* :func:`compute_moments` — ``mapInPandas`` emits one partial row per Arrow
+  batch; partials (1 + p + p*p doubles each) are collected to the driver and
+  Chan-merged.  At 1000 executors x 100 TB this collect is
+  O(num_batches * p^2) bytes of *moments*, never row data.
+* :func:`compute_moments_tree` — same per-batch partials, reduced with
+  ``RDD.treeAggregate(depth=2)`` so the merge itself happens on executors
+  ("treeAggregate-style partial moment matrices", BASELINE.json:6).  Use for
+  very large batch counts.
+
+Grouped/windowed variant: :func:`compute_grouped_moments` emits one moment
+row per group key via ``applyInPandas`` (feeds windowed PCA features).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Moments:
+    """Mergeable centered moments: count, mean vector, comoment matrix."""
+
+    n: int
+    mean: np.ndarray  # shape (p,)
+    m2: np.ndarray    # shape (p, p); sum of outer products of deviations
+
+    @property
+    def cov(self) -> np.ndarray:
+        """Bessel-corrected sample covariance (Julia Statistics.cov default)."""
+        if self.n < 2:
+            return np.full_like(self.m2, np.nan)
+        return self.m2 / (self.n - 1)
+
+    @property
+    def std(self) -> np.ndarray:
+        """Corrected per-feature standard deviation."""
+        return np.sqrt(np.clip(np.diag(self.cov), 0.0, None))
+
+    @property
+    def corr(self) -> np.ndarray:
+        """Correlation matrix R = D^{-1/2} Sigma D^{-1/2}; zero-variance -> 0."""
+        sd = self.std
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = self.cov / np.outer(sd, sd)
+        r[~np.isfinite(r)] = 0.0
+        return r
+
+
+def batch_moments(x: np.ndarray) -> Moments:
+    """Moments of one dense batch (rows = observations). One BLAS GEMM."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        p = x.shape[1] if x.ndim == 2 else 0
+        return Moments(0, np.zeros(p), np.zeros((p, p)))
+    mean = x.mean(axis=0)
+    xc = x - mean
+    return Moments(n, mean, xc.T @ xc)
+
+
+def merge_moments(a: Moments, b: Moments) -> Moments:
+    """Chan/Golub/LeVeque pairwise merge — associative, numerically stable."""
+    if a.n == 0:
+        return b
+    if b.n == 0:
+        return a
+    n = a.n + b.n
+    delta = b.mean - a.mean
+    mean = a.mean + delta * (b.n / n)
+    m2 = a.m2 + b.m2 + np.outer(delta, delta) * (a.n * b.n / n)
+    return Moments(n, mean, m2)
+
+
+# ---------------------------------------------------------------------------
+# Distributed accumulation
+# ---------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = "n long, mean array<double>, m2 array<double>"
+
+
+def _partial_rows(batches: Iterator[pd.DataFrame], col: str) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one (n, mean, flattened m2) row per Arrow batch."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf[col].to_numpy())
+        m = batch_moments(x)
+        yield pd.DataFrame(
+            {"n": [m.n], "mean": [m.mean.tolist()], "m2": [m.m2.ravel().tolist()]}
+        )
+
+
+def _partials_df(df: DataFrame, vec_col: str) -> DataFrame:
+    # Select-before-map: defeat nothing — column pruning can't see inside the
+    # UDF, so prune explicitly (SURVEY.md §4 column-pruning caveat).
+    return df.select(vec_col).mapInPandas(
+        lambda it: _partial_rows(it, vec_col), schema=_PARTIAL_SCHEMA
+    )
+
+
+def _row_to_moments(row) -> Moments:
+    mean = np.asarray(row["mean"], dtype=np.float64)
+    p = mean.shape[0]
+    return Moments(int(row["n"]), mean, np.asarray(row["m2"], dtype=np.float64).reshape(p, p))
+
+
+def compute_moments(df: DataFrame, vec_col: str) -> Moments:
+    """Driver-merge strategy: per-batch Arrow partials -> collect -> Chan-merge.
+
+    Only moment partials cross the executor->driver boundary — O(batches*p^2)
+    doubles, independent of row count.
+    """
+    rows = _partials_df(df, vec_col).collect()
+    acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+    for row in rows:
+        acc = merge_moments(acc, _row_to_moments(row))
+    return acc
+
+
+def compute_moments_tree(df: DataFrame, vec_col: str, depth: int = 2) -> Moments:
+    """treeAggregate strategy: executor-side pairwise merge of partials.
+
+    The leaves are already per-Arrow-batch partials (vectorized); the tree
+    only merges tiny (n, mean, m2) rows, so seqOp per-element cost is O(p^2)
+    on a handful of rows per partition — no per-row loop over data rows.
+    """
+    zero = Moments(0, np.zeros(0), np.zeros((0, 0)))
+    return _partials_df(df, vec_col).rdd.treeAggregate(
+        zero,
+        lambda acc, row: merge_moments(acc, _row_to_moments(row)),
+        merge_moments,
+        depth=depth,
+    )
+
+
+def compute_grouped_moments(df: DataFrame, group_cols: list[str], vec_col: str) -> DataFrame:
+    """Per-group moments via applyInPandas: one (group, n, mean, m2) row each.
+
+    Feeds windowed PCA/whitening (group = (conv_id, window) or a time bucket).
+    Group state is O(p^2), not O(group rows): the incoming group frame is
+    reduced immediately.  Mega-groups should be pre-salted (plans/salting.py)
+    because applyInPandas materializes each group in memory (SURVEY.md §4
+    spill row).
+    """
+    out_schema = ", ".join(f"{c} {t}" for c, t in
+                           [(c, dict(df.dtypes)[c]) for c in group_cols]) \
+        + ", n long, mean array<double>, m2 array<double>"
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf[vec_col].to_numpy())
+        m = batch_moments(x)
+        row = {c: [k] for c, k in zip(group_cols, key)}
+        row.update({"n": [m.n], "mean": [m.mean.tolist()], "m2": [m.m2.ravel().tolist()]})
+        return pd.DataFrame(row)
+
+    return (
+        df.select(*group_cols, vec_col)
+        .groupBy(*group_cols)
+        .applyInPandas(reduce_group, schema=out_schema)
+    )
+
+
+def merge_moment_rows(df: DataFrame) -> Moments:
+    """Merge a (small) DataFrame of (n, mean, m2) partial rows on the driver.
+
+    Used to re-merge salted partials (plans/salting.py) — exact because the
+    Chan merge is associative/commutative.
+    """
+    acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+    for row in df.select("n", "mean", "m2").collect():
+        acc = merge_moments(acc, _row_to_moments(row))
+    return acc

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's pinned configuration.
+
+Every entry point (tests, bench, driver harness, spark-submit job) builds its
+session here so the Arrow / AQE / shuffle settings that the design depends on
+(SURVEY.md §2 UDF summary, §4) are identical everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that matter for correctness or scale; applied at build time.
+ENGINE_CONFS: dict[str, str] = {
+    # Arrow batch transfer for every pandas/Arrow UDF (default-on in 4.x,
+    # pinned explicitly per SURVEY.md §2).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # AQE: runtime re-plan, skew-join splitting, post-shuffle coalesce.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Deterministic timestamp semantics shared with the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Local-mode shuffle sizing; AQE coalesces down when partitions are tiny.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Keep executor-side Python workers reusable (Arrow socket reuse).
+    "spark.python.worker.reuse": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+}
+
+
+def get_spark(app_name: str = "featureextraction_jl_spark",
+              master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine confs pinned.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
+    env var is unset). The bench harness passes ``local[8]`` / ``local[32]``
+    explicitly to evidence the two-cluster-size scaling rule.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,204 @@
+"""Kernel golden + property tests (SURVEY.md §5.2.1–2): A1–A8 vs tests/oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from featureextraction_jl_spark.functions import (
+    Moments,
+    batch_moments,
+    merge_moments,
+    compute_moments,
+    compute_moments_tree,
+    compute_grouped_moments,
+    fit_pca,
+    project_udf,
+    inverse_udf,
+    zscore_global,
+    zscore_by_group,
+)
+from featureextraction_jl_spark.functions.moments import merge_moment_rows
+from featureextraction_jl_spark.functions.zscore import zscore_vec_udf
+
+from tests import oracle
+
+RNG = np.random.default_rng(42)
+X = RNG.normal(size=(400, 6)) @ RNG.normal(size=(6, 6)) + RNG.normal(size=6) * 3
+
+
+def close(a, b):
+    np.testing.assert_allclose(a, b, rtol=oracle.RTOL, atol=oracle.ATOL)
+
+
+def vec_df(spark, x):
+    pdf = pd.DataFrame({"vec": list(np.asarray(x, dtype=np.float64))})
+    return spark.createDataFrame(pdf).repartition(5)
+
+
+# -- moments ---------------------------------------------------------------
+
+def test_batch_moments_matches_numpy():
+    m = batch_moments(X)
+    close(m.mean, oracle.mean(X))
+    close(m.cov, oracle.cov(X))
+
+
+def test_merge_invariance_arbitrary_splits():
+    # moments(concat(X1,X2,X3)) == merge(moments(Xi)) for arbitrary splits
+    for cuts in [(50,), (1, 399), (100, 250, 399)]:
+        parts = np.split(X, list(cuts))
+        acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+        for p in parts:
+            acc = merge_moments(acc, batch_moments(p))
+        close(acc.mean, oracle.mean(X))
+        close(acc.cov, oracle.cov(X))
+
+
+def test_merge_permutation_invariance():
+    parts = np.split(X, [100, 250])
+    a = batch_moments(parts[0])
+    b = batch_moments(parts[1])
+    c = batch_moments(parts[2])
+    m1 = merge_moments(merge_moments(a, b), c)
+    m2 = merge_moments(c, merge_moments(b, a))
+    close(m1.mean, m2.mean)
+    close(m1.m2, m2.m2)
+
+
+def test_distributed_moments_both_strategies(spark):
+    df = vec_df(spark, X)
+    for m in (compute_moments(df, "vec"), compute_moments_tree(df, "vec")):
+        assert m.n == 400
+        close(m.mean, oracle.mean(X))
+        close(m.cov, oracle.cov(X))
+
+
+def test_grouped_moments(spark):
+    pdf = pd.DataFrame({
+        "g": ["a"] * 150 + ["b"] * 250,
+        "vec": list(X.astype(np.float64)),
+    })
+    df = spark.createDataFrame(pdf).repartition(4)
+    rows = {r["g"]: r for r in compute_grouped_moments(df, ["g"], "vec").collect()}
+    close(np.asarray(rows["a"]["mean"]), oracle.mean(X[:150]))
+    close(np.asarray(rows["b"]["mean"]), oracle.mean(X[150:]))
+    p = X.shape[1]
+    close(np.asarray(rows["a"]["m2"]).reshape(p, p) / 149, oracle.cov(X[:150]))
+
+
+def test_merge_moment_rows_equals_global(spark):
+    pdf = pd.DataFrame({"g": RNG.integers(0, 7, size=400), "vec": list(X)})
+    df = spark.createDataFrame(pdf)
+    partials = compute_grouped_moments(df, ["g"], "vec")
+    m = merge_moment_rows(partials)
+    close(m.mean, oracle.mean(X))
+    close(m.cov, oracle.cov(X))
+
+
+# -- correlation -----------------------------------------------------------
+
+def test_correlation():
+    m = batch_moments(X)
+    close(m.corr, np.corrcoef(X, rowvar=False))
+
+
+# -- PCA / whitening -------------------------------------------------------
+
+def test_pca_fit_matches_oracle():
+    m = batch_moments(X)
+    model = fit_pca(m, k=4)
+    mu, v, lam, total = oracle.pca_fit(X, k=4)
+    close(model.mu, mu)
+    close(model.eigenvalues, lam)
+    close(model.components, v)
+    close(model.explained_variance_ratio, lam / total)
+
+
+def test_pca_var_threshold():
+    model = fit_pca(batch_moments(X), var_threshold=0.9)
+    assert model.explained_variance_ratio.sum() >= 0.9
+    smaller = fit_pca(batch_moments(X), k=model.components.shape[1] - 1)
+    assert smaller.explained_variance_ratio.sum() < 0.9
+
+
+def test_projection_udf(spark):
+    model = fit_pca(batch_moments(X), k=3)
+    df = vec_df(spark, X)
+    got = np.stack([r["y"] for r in df.select(project_udf(model, "vec").alias("y")).collect()])
+    # order-insensitive compare: sort rows lexicographically
+    mu, v, lam, _ = oracle.pca_fit(X, k=3)
+    want = oracle.pca_project(X, mu, v)
+    close(np.sort(got, axis=0), np.sort(want, axis=0))
+
+
+def test_whitening_identity_cov(spark):
+    model = fit_pca(batch_moments(X), k=6, mode="pca_whiten")
+    df = vec_df(spark, X)
+    y = np.stack([r["y"] for r in df.select(project_udf(model, "vec").alias("y")).collect()])
+    close(np.cov(y, rowvar=False, ddof=1), np.eye(6))
+
+
+def test_zca_identity_cov_and_oracle(spark):
+    model = fit_pca(batch_moments(X), mode="zca")
+    df = vec_df(spark, X)
+    y = np.stack([r["y"] for r in df.select(project_udf(model, "vec").alias("y")).collect()])
+    close(np.cov(y, rowvar=False, ddof=1), np.eye(6))
+    mu, v, lam, _ = oracle.pca_fit(X)
+    want = oracle.zca_project(X, mu, v, lam)
+    close(np.sort(y, axis=0), np.sort(want, axis=0))
+
+
+def test_inverse_roundtrip(spark):
+    model = fit_pca(batch_moments(X), k=6)  # full rank => exact reconstruction
+    df = vec_df(spark, X)
+    out = df.select("vec", project_udf(model, "vec").alias("y"))
+    out = out.select("vec", inverse_udf(model, "y").alias("xhat"))
+    rows = out.collect()
+    got_x = np.stack([r["vec"] for r in rows])
+    got_hat = np.stack([r["xhat"] for r in rows])
+    close(got_hat, got_x)
+
+
+def test_model_save_load(tmp_path):
+    from featureextraction_jl_spark.functions.pca import PCAModel
+    model = fit_pca(batch_moments(X), k=3, mode="pca_whiten")
+    p = str(tmp_path / "model.npz")
+    model.save(p)
+    loaded = PCAModel.load(p)
+    close(loaded.projection, model.projection)
+    assert loaded.mode == "pca_whiten"
+
+
+# -- z-score ---------------------------------------------------------------
+
+def test_zscore_global(spark):
+    pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(6)])
+    pdf["const"] = 7.0  # sigma == 0 guard
+    df = spark.createDataFrame(pdf)
+    out = zscore_global(df, [f"c{i}" for i in range(6)] + ["const"]).toPandas()
+    out = out.sort_values("c0").reset_index(drop=True)
+    want = oracle.zscore(X)
+    want = want[np.argsort(want[:, 0])]
+    close(out[[f"c{i}" for i in range(6)]].to_numpy(), want)
+    assert (out["const"] == 0.0).all()
+
+
+def test_zscore_by_group(spark):
+    g = np.repeat(["a", "b"], 200)
+    pdf = pd.DataFrame(X, columns=[f"c{i}" for i in range(6)])
+    pdf["g"] = g
+    df = spark.createDataFrame(pdf)
+    out = zscore_by_group(df, ["g"], ["c0"]).toPandas()
+    for grp, lo, hi in [("a", 0, 200), ("b", 200, 400)]:
+        got = np.sort(out.loc[out.g == grp, "c0"].to_numpy())
+        want = np.sort(oracle.zscore(X[lo:hi, :1]).ravel())
+        close(got, want)
+
+
+def test_zscore_vec_udf(spark):
+    m = batch_moments(X)
+    df = vec_df(spark, X)
+    z = np.stack([r["z"] for r in df.select(zscore_vec_udf(m, "vec").alias("z")).collect()])
+    close(np.sort(z, axis=0), np.sort(oracle.zscore(X), axis=0))
