@@ -1,0 +1,164 @@
+"""Point-in-time (as-of) join — the engine's core primitive (SURVEY.md §2 C1–C2).
+
+For each left row (key, ts) attach the latest right row with
+``right.ts <= left.ts`` (backward; zero temporal leakage by construction),
+or the earliest with ``right.ts >= left.ts`` (forward), or the closer of the
+two (nearest), optionally bounded by a tolerance.
+
+Spark has no built-in batch as-of primitive, so two implementations:
+
+* **union trick** (default, :func:`asof_join`): tag the sides, ``unionByName``,
+  one Window ``last(right_col, ignorenulls=True)`` sweep ordered by
+  ``(ts, side)``, filter back to left rows.  Exactly ONE shuffle on the key,
+  sort-merge friendly, JVM-only (no Python worker), AQE-skew-splittable.
+  This is the scale path: at 10^12 turns the whole join is one Exchange +
+  one Sort per side.
+* **bucketed pandas merge** (:func:`asof_join_pandas`): co-group both sides
+  by key and run ``pandas.merge_asof`` per group via ``applyInPandas``.
+  Used as a cross-check and when per-key state must sit in one frame.
+  Memory is O(key group), so mega-keys should not take this path.
+
+Tie-break semantics (pinned by tests): if several right rows share one
+``ts``, the last one under ``(ts, *right_order)`` wins — pass
+``right_order`` for determinism when right ts duplicates are possible.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_MATCH_TS = "__asof_matched_ts"
+
+
+def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
+                 left_ts: str, right_ts: str, right_cols: list[str],
+                 descending: bool, right_order: Sequence[str]) -> DataFrame:
+    """Shared union+window sweep. descending=False -> backward as-of."""
+    on = list(on)
+    lhs = left.withColumn(_SIDE, F.lit(1))
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias(left_ts),
+        F.col(right_ts).alias(_MATCH_TS),
+        *[F.col(c) for c in right_cols],
+    ).withColumn(_SIDE, F.lit(0))
+
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    ts_key = F.col(left_ts).desc() if descending else F.col(left_ts).asc()
+    # side=0 (right) sorts before side=1 (left) at equal ts => inclusive match.
+    order = [ts_key, F.col(_SIDE).asc()]
+    for c in right_order:
+        order.append(F.col(c).desc() if descending else F.col(c).asc())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
+          for c in right_cols + [_MATCH_TS]],
+    )
+    out = filled.filter(F.col(_SIDE) == 1)
+    for c in right_cols + [_MATCH_TS]:
+        out = out.drop(c).withColumnRenamed(f"__f_{c}", c)
+    return out.drop(_SIDE)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward",
+              tolerance_seconds: float | None = None,
+              right_order: Sequence[str] = (),
+              keep_match_ts: bool = False) -> DataFrame:
+    """Union-trick as-of join. One shuffle; no Python workers.
+
+    ``direction``: backward | forward | nearest.
+    ``tolerance_seconds``: unmatch rows whose |left.ts - matched ts| exceeds it.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    if direction in ("backward", "forward"):
+        out = _union_sweep(left, right, on, left_ts, right_ts, right_cols,
+                           descending=(direction == "forward"), right_order=right_order)
+    elif direction == "nearest":
+        back = _union_sweep(left, right, on, left_ts, right_ts, right_cols,
+                            descending=False, right_order=right_order)
+        bcols = {c: f"__b_{c}" for c in right_cols + [_MATCH_TS]}
+        for c, a in bcols.items():
+            back = back.withColumnRenamed(c, a)
+        out = _union_sweep(back, right, on, left_ts, right_ts, right_cols,
+                           descending=True, right_order=right_order)
+        lt = F.col(left_ts).cast("double")
+        bgap = F.abs(lt - F.col(bcols[_MATCH_TS]).cast("double"))
+        fgap = F.abs(lt - F.col(_MATCH_TS).cast("double"))
+        use_b = F.col(bcols[_MATCH_TS]).isNotNull() & (
+            F.col(_MATCH_TS).isNull() | (bgap <= fgap)
+        )
+        for c in right_cols + [_MATCH_TS]:
+            out = out.withColumn(c, F.when(use_b, F.col(bcols[c])).otherwise(F.col(c)))
+        out = out.drop(*bcols.values())
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col(left_ts).cast("double") - F.col(_MATCH_TS).cast("double"))
+        within = F.col(_MATCH_TS).isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        for c in right_cols:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+        out = out.withColumn(_MATCH_TS, F.when(within, F.col(_MATCH_TS)))
+    if keep_match_ts:
+        out = out.withColumnRenamed(_MATCH_TS, "matched_ts")
+    else:
+        out = out.drop(_MATCH_TS)
+    return out
+
+
+def asof_join_pandas(left: DataFrame, right: DataFrame, on: str,
+                     left_ts: str = "ts", right_ts: str = "ts",
+                     direction: str = "backward",
+                     tolerance_seconds: float | None = None) -> DataFrame:
+    """Cogrouped ``pandas.merge_asof`` cross-check implementation (C1b).
+
+    Both sides shuffle once on the key; each key's rows land in one pandas
+    frame (cogroup), merged with the library asof.  O(key group) memory.
+    """
+    right_cols = [c for c in right.columns if c != on and c != right_ts]
+    fields = []
+    for c in left.schema.fields:
+        fields.append(f"{c.name} {c.dataType.simpleString()}")
+    rtypes = dict((f.name, f.dataType.simpleString()) for f in right.schema.fields)
+    for c in right_cols:
+        fields.append(f"{c} {rtypes[c]}")
+    schema = ", ".join(fields)
+    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds else None
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=list(lpdf.columns) + right_cols)
+        lo = lpdf.sort_values(left_ts, kind="stable")
+        if len(rpdf) == 0:
+            out = lo.copy()
+            for c in right_cols:
+                out[c] = None
+            return out
+        ro = rpdf.sort_values(right_ts, kind="stable")[[right_ts] + right_cols]
+        merged = pd.merge_asof(lo, ro, left_on=left_ts, right_on=right_ts,
+                               direction=direction, tolerance=tol,
+                               suffixes=("", "__r"))
+        drop = [c for c in (f"{right_ts}__r", right_ts)
+                if c in merged.columns and c not in lpdf.columns]
+        return merged.drop(columns=drop)
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema)

@@ -1,0 +1,91 @@
+"""Scans, bucketed layout, and sinks (SURVEY.md §2 B1–B3).
+
+Design target is Iceberg (`spark.read.format("iceberg")`, hidden bucket
+partitioning, snapshot isolation); the sandbox has no Iceberg runtime JAR, so
+the Parquet path — identical columnar scan, vectorized reader, pushdown — is
+the default and the Iceberg branch is format-gated.
+
+Schemas are explicit and asserted, never inferred (SURVEY.md §1.1 row 5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: BASELINE.json input_hint: the engine's fact-table shape.
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+    StructField("role", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("tool", StringType(), True),
+    StructField("ts", TimestampType(), False),
+])
+
+
+def read_table(spark: SparkSession, path_or_table: str,
+               fmt: str | None = None) -> DataFrame:
+    """Read a table: Iceberg catalog name, or parquet path (sandbox)."""
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path_or_table)
+    return spark.read.parquet(path_or_table)
+
+
+def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None,
+                     asof_cut=None) -> DataFrame:
+    """Scan the transcripts table, asserting the contract schema.
+
+    ``asof_cut`` (timestamp) pushes the global point-in-time cut ``ts <= cut``
+    down into the scan — verify with explain() that it reaches PushedFilters
+    (leakage + perf; SURVEY.md §4 pushdown row).
+    """
+    df = read_table(spark, path, fmt)
+    got = {f.name: f.dataType for f in df.schema.fields}
+    for f in TRANSCRIPT_SCHEMA.fields:
+        if f.name not in got:
+            raise ValueError(f"transcripts missing column {f.name}; got {sorted(got)}")
+        if got[f.name].simpleString() != f.dataType.simpleString():
+            raise ValueError(
+                f"transcripts column {f.name}: expected {f.dataType.simpleString()}, "
+                f"got {got[f.name].simpleString()}")
+    if asof_cut is not None:
+        df = df.filter(F.col("ts") <= F.lit(asof_cut))
+    return df
+
+
+def bucket_and_sort(df: DataFrame, key: str = "conv_id", ts_col: str = "ts",
+                    num_buckets: int = 64) -> DataFrame:
+    """Explicit conv_id-hash bucketing + in-partition (key, ts) sort (B2).
+
+    One Exchange; every downstream Window on (key, ts) then reuses this
+    partitioning and Catalyst elides further sorts/shuffles — 'explicit
+    repartitioning on conv_id hash buckets' (BASELINE.json:6).
+    """
+    return (
+        df.repartition(num_buckets, F.col(key))
+        .sortWithinPartitions(key, ts_col)
+    )
+
+
+def write_features(df: DataFrame, path: str, fmt: str = "parquet",
+                   mode: str = "overwrite", bucket_col: str | None = None,
+                   num_buckets: int = 64) -> None:
+    """Feature sink (B3). Iceberg branch uses hidden bucket partitioning."""
+    if fmt == "iceberg":
+        writer = df.writeTo(path)
+        if bucket_col:
+            from pyspark.sql.functions import bucket
+            writer = writer.partitionedBy(bucket(num_buckets, bucket_col))
+        writer.createOrReplace()
+        return
+    df.write.mode(mode).parquet(path)

@@ -1,0 +1,220 @@
+"""Temporal operator tests (SURVEY.md §2 Group C) vs pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.operators import (
+    asof_join,
+    sessionize,
+    forward_fill,
+    backward_fill,
+    with_lag_lead,
+    rolling_rows,
+    rolling_time,
+    tumbling,
+    latest_row,
+)
+from featureextraction_jl_spark.operators.asof import asof_join_pandas
+from featureextraction_jl_spark.sources import generate_transcripts, generate_snapshots
+
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, num_convs=60, seed=42, max_turns=300,
+                              mega_turns=800).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    df = generate_snapshots(spark, num_convs=60, seed=42, dim=4).cache()
+    df.count()
+    return df
+
+
+def test_fixture_shape(transcripts):
+    assert transcripts.count() > 1000
+    assert transcripts.filter(F.col("tool").isNull()).count() > 0
+    mega = transcripts.filter(F.col("conv_id") == "c00000000").count()
+    assert mega == 800
+
+
+# -- as-of join --------------------------------------------------------------
+
+def _asof_oracle(lp, rp, direction, tol=None):
+    out = []
+    for conv, lgrp in lp.groupby("conv_id"):
+        rgrp = rp[rp.conv_id == conv]
+        lo = lgrp.sort_values("ts", kind="stable")
+        if len(rgrp) == 0:
+            m = lo.copy()
+            m["snap_score"] = np.nan
+            m["matched"] = pd.NaT
+        else:
+            ro = rgrp.sort_values("snapshot_ts")[["snapshot_ts", "snap_score"]]
+            ro = ro.rename(columns={"snapshot_ts": "matched"})
+            m = pd.merge_asof(lo, ro, left_on="ts", right_on="matched",
+                              direction=direction,
+                              tolerance=pd.Timedelta(seconds=tol) if tol else None)
+        out.append(m)
+    return pd.concat(out, ignore_index=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_vs_pandas(spark, transcripts, snapshots, direction):
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = snapshots.select("conv_id", "snapshot_ts", "snap_score")
+    got = asof_join(left, right, on="conv_id", left_ts="ts",
+                    right_ts="snapshot_ts", direction=direction,
+                    keep_match_ts=True).toPandas()
+    want = _asof_oracle(left.toPandas(), right.toPandas(), direction)
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["snap_score"].to_numpy(dtype=float),
+        want["snap_score"].to_numpy(dtype=float),
+        rtol=1e-12, equal_nan=True)
+    assert got["matched_ts"].isna().equals(want["matched"].isna())
+    pd.testing.assert_series_equal(
+        got["matched_ts"], want["matched"], check_names=False)
+
+
+def test_asof_tolerance(spark, transcripts, snapshots):
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = snapshots.select("conv_id", "snapshot_ts", "snap_score")
+    tol = 3600.0
+    got = asof_join(left, right, on="conv_id", left_ts="ts",
+                    right_ts="snapshot_ts", direction="backward",
+                    tolerance_seconds=tol).toPandas()
+    want = _asof_oracle(left.toPandas(), right.toPandas(), "backward", tol=tol)
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    np.testing.assert_allclose(got["snap_score"].astype(float),
+                               want["snap_score"].astype(float),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_asof_pandas_impl_agrees(spark, transcripts, snapshots):
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = snapshots.select("conv_id", "snapshot_ts", "snap_score")
+    a = asof_join(left, right, on="conv_id", left_ts="ts",
+                  right_ts="snapshot_ts").toPandas()
+    b = asof_join_pandas(left, right, on="conv_id", left_ts="ts",
+                         right_ts="snapshot_ts").toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    np.testing.assert_allclose(a["snap_score"].astype(float),
+                               b["snap_score"].astype(float),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_asof_leakage_free(spark, transcripts, snapshots):
+    """§1.4.10: matched snapshot never postdates the left ts."""
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = snapshots.select("conv_id", "snapshot_ts", "snap_score")
+    got = asof_join(left, right, on="conv_id", left_ts="ts",
+                    right_ts="snapshot_ts", keep_match_ts=True)
+    assert got.filter(F.col("matched_ts") > F.col("ts")).count() == 0
+
+
+# -- sessionize --------------------------------------------------------------
+
+def test_sessionize_vs_oracle(spark, transcripts):
+    got = sessionize(transcripts, gap_seconds=1800.0,
+                     order=["ts", "turn_idx"]).toPandas()
+    for conv, grp in got.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"], kind="stable")
+        want = oracle.sessionize(grp["ts"], 1800.0)
+        np.testing.assert_array_equal(grp["session_id"].to_numpy(),
+                                      want.to_numpy())
+
+
+# -- backfill ----------------------------------------------------------------
+
+def test_forward_fill(spark, transcripts):
+    got = forward_fill(transcripts, "conv_id", ["ts", "turn_idx"],
+                       ["tool"]).toPandas()
+    raw = transcripts.toPandas()
+    for conv, grp in raw.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"], kind="stable")
+        want = oracle.forward_fill(grp["tool"])
+        g = got[got.conv_id == conv].sort_values(["ts", "turn_idx"], kind="stable")
+        assert list(g["tool"].fillna("␀")) == list(want.fillna("␀"))
+
+
+def test_backward_fill(spark, transcripts):
+    got = backward_fill(transcripts, "conv_id", ["ts", "turn_idx"],
+                        ["tool"]).toPandas()
+    raw = transcripts.toPandas()
+    for conv, grp in raw.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"], kind="stable")
+        want = grp["tool"].bfill()
+        g = got[got.conv_id == conv].sort_values(["ts", "turn_idx"], kind="stable")
+        assert list(g["tool"].fillna("␀")) == list(want.fillna("␀"))
+
+
+# -- lag/lead & rolling ------------------------------------------------------
+
+def test_lag_lead(spark, transcripts):
+    got = with_lag_lead(transcripts, "conv_id", ["ts", "turn_idx"],
+                        ["turn_idx"], offsets=(1, 2)).toPandas()
+    for conv, grp in got.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"], kind="stable")
+        np.testing.assert_array_equal(
+            grp["lag_1_turn_idx"].to_numpy(dtype=float),
+            grp["turn_idx"].shift(1).to_numpy(dtype=float))
+        np.testing.assert_array_equal(
+            grp["lead_2_turn_idx"].to_numpy(dtype=float),
+            grp["turn_idx"].shift(-2).to_numpy(dtype=float))
+
+
+def test_rolling_rows(spark, transcripts):
+    df = transcripts.withColumn("v", F.length("text").cast("double"))
+    got = rolling_rows(df, "conv_id", ["ts", "turn_idx"],
+                       {"roll_mean": F.avg("v"), "roll_cnt": F.count("v")},
+                       lookback_rows=4).toPandas()
+    for conv, grp in got.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "turn_idx"], kind="stable")
+        want = grp["v"].rolling(5, min_periods=1).mean()
+        np.testing.assert_allclose(grp["roll_mean"].to_numpy(),
+                                   want.to_numpy(), rtol=1e-12)
+
+
+def test_rolling_time(spark, transcripts):
+    df = transcripts.withColumn("v", F.lit(1.0))
+    got = rolling_time(df, "conv_id", "ts", {"cnt_1h": F.count("v")},
+                       lookback_seconds=3600.0).toPandas()
+    sample = got[got.conv_id == got.conv_id.iloc[0]]
+    ts = sample["ts"].to_numpy()
+    for i in range(len(sample)):
+        want = int(((ts <= ts[i]) & (ts >= ts[i] - np.timedelta64(3600, "s"))).sum())
+        assert sample["cnt_1h"].iloc[i] == want
+
+
+def test_tumbling(spark, transcripts):
+    got = tumbling(transcripts, "conv_id", "ts", "1 hour",
+                   [F.count(F.lit(1)).alias("n")]).toPandas()
+    total = got["n"].sum()
+    assert total == transcripts.count()
+
+
+def test_latest_row(spark, transcripts):
+    dup = transcripts.unionByName(transcripts.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")))
+    got = latest_row(dup, ["conv_id", "turn_idx"], ["ts"])
+    assert got.count() == transcripts.count()
+    joined = got.alias("g").join(transcripts.alias("t"),
+                                 on=["conv_id", "turn_idx"])
+    assert joined.filter(
+        F.col("g.ts") != F.col("t.ts") + F.expr("INTERVAL 1 SECOND")).count() == 0
