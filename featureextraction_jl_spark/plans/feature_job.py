@@ -1,0 +1,106 @@
+"""The flagship point-in-time feature job (SURVEY.md §3.2).
+
+scan -> conv_id bucket + ts sort            [shuffle #1]
+     -> sessionize -> lag/lead -> forward-fill      (one Window chain,
+        same partitioner => no extra shuffle)
+     -> as-of join feature snapshots        [shuffle #2, union-trick]
+     -> assemble numeric raw feature vector (pure JVM exprs)
+     -> global moment accumulation          [Arrow partials, tiny collect]
+     -> driver-side PCA/whitening fit (p x p eigh) -> broadcast model
+     -> Arrow-batched projection UDF -> features + byte-equal text passthrough
+
+Zero temporal leakage by construction: every input to the vector at
+(conv_id, ts) is a backward-looking Window (rowsBetween ... currentRow), the
+backward as-of match, or the row itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.functions.moments import compute_moments, Moments
+from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca, project_udf
+from featureextraction_jl_spark.operators.sessionize import sessionize
+from featureextraction_jl_spark.operators.backfill import forward_fill
+from featureextraction_jl_spark.operators.asof import asof_join
+from featureextraction_jl_spark.sources.tables import bucket_and_sort
+
+
+@dataclass
+class FeatureJobConfig:
+    gap_seconds: float = 1800.0
+    num_buckets: int = 64
+    k: int = 8                      # PCA components
+    mode: str = "pca_whiten"        # pca | pca_whiten | zca
+    snap_dim: int = 16              # dim of snapshot vectors
+    rolling_turns: int = 8
+
+
+ORDER = ["ts", "turn_idx"]  # deterministic total order under duplicate ts
+
+
+def assemble_raw_vector(df: DataFrame, cfg: FeatureJobConfig) -> DataFrame:
+    """Backward-looking numeric raw vector per turn — pure Catalyst exprs.
+
+    Components: log1p(char len), gap seconds to previous turn, session id,
+    turn_idx, lag-1 char len, rolling mean char len, role flags, plus the
+    as-of snapshot vector (zeros when no snapshot preceded this turn).
+    """
+    w = Window.partitionBy("conv_id").orderBy(*ORDER)
+    wtrail = w.rowsBetween(-cfg.rolling_turns, 0)
+    char_len = F.length("text").cast("double")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(w))
+    base = F.array(
+        F.log1p(char_len),
+        F.coalesce(F.log1p(gap), F.lit(0.0)),
+        F.col("session_id").cast("double"),
+        F.log1p(F.col("turn_idx").cast("double")),
+        F.coalesce(F.log1p(F.lag(char_len, 1).over(w)), F.lit(0.0)),
+        F.log1p(F.avg(char_len).over(wtrail)),
+        F.when(F.col("role") == "assistant", 1.0).otherwise(0.0),
+        F.when(F.col("role") == "tool", 1.0).otherwise(0.0),
+        F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0),
+    )
+    zeros = F.array(*[F.lit(0.0)] * cfg.snap_dim)
+    snap = F.coalesce(F.col("snap_vec"), zeros)
+    return df.withColumn("raw_vec", F.concat(base, snap))
+
+
+def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
+                        cfg: FeatureJobConfig) -> DataFrame:
+    """Everything before the statistical kernels — JVM-only plan."""
+    df = bucket_and_sort(transcripts, "conv_id", "ts", cfg.num_buckets)
+    df = sessionize(df, gap_seconds=cfg.gap_seconds, order=ORDER)
+    df = forward_fill(df, "conv_id", ORDER, ["tool"])
+    if snapshots is not None:
+        df = asof_join(df, snapshots, on="conv_id", left_ts="ts",
+                       right_ts="snapshot_ts", direction="backward")
+        if "snap_score" in df.columns:
+            df = df.drop("snap_score")
+    else:
+        df = df.withColumn("snap_vec", F.lit(None).cast("array<double>"))
+    return assemble_raw_vector(df, cfg)
+
+
+def run_features(transcripts: DataFrame, snapshots: DataFrame | None = None,
+                 cfg: FeatureJobConfig | None = None,
+                 model: PCAModel | None = None) -> tuple[DataFrame, PCAModel]:
+    """Full flagship job; returns (features DataFrame, fitted model).
+
+    Pass a pre-fitted ``model`` to skip the moment pass (transform-only mode,
+    e.g. on resume or on a new day's partition).
+    """
+    cfg = cfg or FeatureJobConfig()
+    prepared = build_turn_features(transcripts, snapshots, cfg)
+    if model is None:
+        moments = compute_moments(prepared, "raw_vec")
+        model = fit_pca(moments, k=cfg.k, mode=cfg.mode)
+    out = prepared.select(
+        "conv_id", "turn_idx", "ts", "role", "text", "tool", "session_id",
+        project_udf(model, "raw_vec").alias("feature_vec"),
+    )
+    return out, model

@@ -1,0 +1,86 @@
+"""Skew salting for the grouped-moment aggregation path (SURVEY.md §2 E1).
+
+AQE splits skewed JOIN partitions but not skewed groupBy keys; the
+mega-conversation would otherwise materialize as ONE applyInPandas group.
+Because moments are associative/commutative under the Chan merge
+(functions/moments.py), salting is *exact*:
+
+    heavy keys get salt = pmod(xxhash64(salt_src), num_salts)
+    -> partial moments per (key, salt)            [bounded group size]
+    -> re-merge partials per key                  [<= num_salts rows/key]
+
+Heavy-key detection is a sampled count — at 100 TB that is a cheap
+approximate groupBy over a fraction, broadcast back as a set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.functions.moments import (
+    Moments,
+    merge_moments,
+)
+
+
+def detect_heavy_keys(df: DataFrame, key: str, threshold_rows: int,
+                      sample_fraction: float | None = None) -> list:
+    """Keys whose (estimated) row count exceeds the threshold."""
+    src = df.sample(sample_fraction) if sample_fraction else df
+    scale = 1.0 / sample_fraction if sample_fraction else 1.0
+    counts = src.groupBy(key).agg((F.count(F.lit(1)) * F.lit(scale)).alias("n"))
+    return [r[key] for r in counts.filter(F.col("n") > threshold_rows).collect()]
+
+
+def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
+                           heavy_threshold: int = 100_000,
+                           num_salts: int = 32,
+                           sample_fraction: float | None = None) -> DataFrame:
+    """Per-key moments with exact skew salting.
+
+    Returns (key, n, mean array<double>, m2 array<double>) — identical to
+    ``compute_grouped_moments`` output (equivalence is test-pinned).
+    """
+    heavy = detect_heavy_keys(df, key, heavy_threshold, sample_fraction)
+    salt = (
+        F.when(F.col(key).isin(heavy),
+               F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)))
+        .otherwise(F.lit(0))
+        .cast("int")
+    ) if heavy else F.lit(0)
+    salted = df.select(key, F.col(vec_col).alias("__vec"), salt.alias("__salt"))
+
+    # stage 1: bounded partials per (key, salt)
+    def partial(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["__vec"].to_numpy())
+        n = x.shape[0]
+        mean = x.mean(axis=0)
+        xc = x - mean
+        return pd.DataFrame({
+            key: [pdf_key[0]],
+            "n": [n],
+            "mean": [mean.tolist()],
+            "m2": [(xc.T @ xc).ravel().tolist()],
+        })
+
+    partial_schema = f"{key} string, n long, mean array<double>, m2 array<double>"
+    partials = salted.groupBy(key, "__salt").applyInPandas(partial, partial_schema)
+
+    # stage 2: re-merge per key (<= num_salts tiny rows each)
+    def remerge(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+        for _, row in pdf.iterrows():
+            mean = np.asarray(row["mean"])
+            p = mean.shape[0]
+            acc = merge_moments(
+                acc, Moments(int(row["n"]), mean, np.asarray(row["m2"]).reshape(p, p)))
+        return pd.DataFrame({
+            key: [pdf_key[0]], "n": [acc.n],
+            "mean": [acc.mean.tolist()], "m2": [acc.m2.ravel().tolist()],
+        })
+
+    return partials.groupBy(key).applyInPandas(remerge, partial_schema)

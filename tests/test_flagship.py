@@ -1,0 +1,100 @@
+"""End-to-end flagship job gates (SURVEY.md §5.2.2, §5.2.4):
+leakage-free, byte-equal text passthrough, salting equivalence."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.functions.moments import compute_grouped_moments
+from featureextraction_jl_spark.plans import (
+    FeatureJobConfig,
+    run_features,
+    salted_grouped_moments,
+)
+from featureextraction_jl_spark.sources import generate_transcripts, generate_snapshots
+
+CFG = FeatureJobConfig(snap_dim=4, k=5, num_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    t = generate_transcripts(spark, num_convs=40, seed=42, max_turns=200,
+                             mega_turns=600).cache()
+    s = generate_snapshots(spark, num_convs=40, seed=42, dim=4).cache()
+    t.count(), s.count()
+    return t, s
+
+
+def text_digest(pdf: pd.DataFrame) -> str:
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="stable")
+    h = hashlib.sha256()
+    for t in pdf["text"]:
+        h.update(t.encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def test_flagship_runs_and_passthrough(spark, data):
+    t, s = data
+    out, model = run_features(t, s, CFG)
+    out_pdf = out.select("conv_id", "turn_idx", "text").toPandas()
+    in_pdf = t.select("conv_id", "turn_idx", "text").toPandas()
+    # byte-equal text passthrough under stable (conv_id, turn_idx) order
+    assert text_digest(out_pdf) == text_digest(in_pdf)
+    assert out.count() == t.count()
+    assert model.components.shape[1] == CFG.k
+    first = out.select("feature_vec").first()[0]
+    assert len(first) == CFG.k
+
+
+def test_flagship_whitened_cov_identity(spark, data):
+    t, s = data
+    out, _ = run_features(t, s, CFG)
+    y = np.stack(out.select("feature_vec").toPandas()["feature_vec"].to_numpy())
+    np.testing.assert_allclose(np.cov(y, rowvar=False, ddof=1), np.eye(CFG.k),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_flagship_leakage_free(spark, data):
+    """§1.4.10: truncate input to ts <= cut, refit nothing (reuse model),
+    recompute — vectors at surviving (conv_id, ts) must be identical."""
+    t, s = data
+    out, model = run_features(t, s, CFG)
+    cut = t.agg(F.percentile_approx("ts", 0.6)).collect()[0][0]
+
+    t_cut = t.filter(F.col("ts") <= F.lit(cut))
+    s_cut = s.filter(F.col("snapshot_ts") <= F.lit(cut))
+    out_cut, _ = run_features(t_cut, s_cut, CFG, model=model)
+
+    key = ["conv_id", "turn_idx"]
+    full = out.filter(F.col("ts") <= F.lit(cut)).select(
+        *key, "feature_vec").toPandas().set_index(key).sort_index()
+    trunc = out_cut.select(*key, "feature_vec").toPandas().set_index(key).sort_index()
+    assert len(full) == len(trunc)
+    a = np.stack(full["feature_vec"].to_numpy())
+    b = np.stack(trunc["feature_vec"].to_numpy())
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+def test_salting_equivalence(spark, data):
+    t, s = data
+    from featureextraction_jl_spark.plans.feature_job import build_turn_features
+    prepared = build_turn_features(t, s, CFG).select("conv_id", "raw_vec")
+    plain = {r["conv_id"]: r for r in
+             compute_grouped_moments(prepared, ["conv_id"], "raw_vec").collect()}
+    salted = {r["conv_id"]: r for r in
+              salted_grouped_moments(prepared, "conv_id", "raw_vec",
+                                     heavy_threshold=100, num_salts=8).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k]["n"] == salted[k]["n"]
+        np.testing.assert_allclose(plain[k]["mean"], salted[k]["mean"],
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(plain[k]["m2"], salted[k]["m2"],
+                                   rtol=1e-8, atol=1e-8)
