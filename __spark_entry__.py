@@ -1,38 +1,1043 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on the
+sf0.001 events table; ``queries()``/``oracle_sql()`` register every
+implemented operator from SURVEY.md §2 with a DuckDB-checkable ANSI-SQL
+twin.  Hash-stability conventions used throughout (the driver compares
+order-insensitive value hashes):
+
+* sums are computed in exact DECIMAL and cast to DOUBLE at the end, so both
+  engines produce bit-identical doubles regardless of accumulation order;
+* averages are decimal-sum / count, divided in DOUBLE;
+* order-dependent float stats (stddev, corr, z-scores) are ROUNDed on both
+  sides; timestamps are compared as epoch-second DOUBLEs;
+* every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from featureextraction_jl_spark.functions.moments import compute_moments
+from featureextraction_jl_spark.functions.pca import fit_pca, project_udf
+from featureextraction_jl_spark.functions.timeutil import epoch_seconds
+from featureextraction_jl_spark.operators.asof import asof_join
+from featureextraction_jl_spark.operators.backfill import forward_fill
+from featureextraction_jl_spark.operators.dedup import (
+    exact_dedup,
+    latest_row,
+    minhash_lsh_pairs,
+    simhash,
+)
+from featureextraction_jl_spark.operators.sessionize import sessionize, session_bounds
+from featureextraction_jl_spark.operators.windows import rolling_rows, rolling_time
+from featureextraction_jl_spark.plans.feature_job import FeatureJobConfig, run_features
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's events table to the transcript contract shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("checkout")).alias("tool"),
+        F.col("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full point-in-time feature job over sf0.001 events."""
+    sf_dir = "/root/testdata/sf0.001"
+    transcripts = _events_as_transcripts(spark, sf_dir)
+    cfg = FeatureJobConfig(snap_dim=0, k=5, num_buckets=8, gap_seconds=1800.0)
+    out, _model = run_features(transcripts, snapshots=None, cfg=cfg)
+    return out
 
+
+# ---------------------------------------------------------------------------
+# Shared column helpers (hash-stable numerics)
+# ---------------------------------------------------------------------------
+
+def _dsum(col, scale: int = 4):
+    """Exact decimal sum cast to double — order-insensitive bit-stable."""
+    return F.sum(F.col(col).cast(f"decimal(27,{scale})")).cast("double")
+
+
+def _davg(col, cnt_col=None, scale: int = 6):
+    cnt = F.count(F.lit(1)) if cnt_col is None else F.count(cnt_col)
+    return F.sum(F.col(col).cast(f"decimal(27,{scale})")).cast("double") / cnt
+
+
+EPOCH = "cast(ts as double)"
+
+
+# ---------------------------------------------------------------------------
+# Group D — relational operators
+# ---------------------------------------------------------------------------
+
+def q01_agg_pricing(spark, sf):
+    """D7 hash aggregate (TPC-H Q1 shape): partial+final HashAggregate."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_filter_predicates(spark, sf):
+    """D2 predicates: between / isin / like — pushed to the parquet scan."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1994-01-01", "1995-12-31")
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+            & F.col("l_returnflag").isin("A", "N")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+def q03_broadcast_join(spark, sf):
+    """D3 broadcast equi-join across the dimension chain."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             _dsum("s_acctbal").alias("sum_acctbal"))
+    )
+
+
+def q04_shuffle_join(spark, sf):
+    """D4 large-large shuffle join (AQE picks SMJ/shuffled-hash)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q05_outer_join(spark, sf):
+    """D5 left outer join + conditional count of unmatched."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct(F.when(F.col("o_orderkey").isNull(), F.col("c_custkey")))
+            .alias("n_no_orders"),
+        )
+    )
+
+
+def q06_semi_anti(spark, sf):
+    """D5 left_semi / left_anti existence and exclusion."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame([(semi, anti)], "n_with_orders long, n_without long")
+
+
+def q07_range_join(spark, sf):
+    """D6 interval/theta join with an equi prefix (no cartesian blowup)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.date_add(o.o_orderdate.cast("date"), 60))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_60d"))
+    )
+
+
+def q08_rollup(spark, sf):
+    """D9 rollup multi-granularity aggregation."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+def q09_cube(spark, sf):
+    """D9 cube with grouping_id."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.grouping_id().alias("gid"))
+    )
+
+
+def q10_distinct(spark, sf):
+    """D8 distinct / count-distinct."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q10b_approx_distinct(spark, sf):
+    """D8 approx_count_distinct (HLL++) — rows-only (sketch differs by engine)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+
+
+def q11_topk_global(spark, sf):
+    """D10 global top-k via TakeOrdered (orderBy + limit)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q12_topk_per_group(spark, sf):
+    """D11 top-k per group via ranked Window."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+    )
+
+
+def q13_window_rank(spark, sf):
+    """D12 ranking/analytic window family."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity"), F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q14_set_ops(spark, sf):
+    """D13 intersect / except on key sets."""
+    o = _t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).count()
+    only_urgent = urgent.distinct().exceptAll(high.distinct()).count()
+    return spark.createDataFrame([(both, only_urgent)],
+                                 "n_both long, n_only_urgent long")
+
+
+def q15_string_fns(spark, sf):
+    """D14 scalar string functions over documents."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_lev"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+    )
+
+
+def q16_datetime_fns(spark, sf):
+    """D15 scalar date/time functions over events."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.hour("ts").alias("h"),
+        (F.dayofweek("ts") - 1).alias("dow"),  # align to DuckDB 0=Sunday
+        F.date_trunc("hour", F.col("ts")).cast("double").alias("hour_epoch"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since"),
+        F.unix_timestamp("ts").alias("unix_sec"),
+    )
+
+
+def q17_math_fns(spark, sf):
+    """D16 scalar math functions."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.log1p("l_quantity"), 6).alias("log1p_qty"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(F.col("l_discount"), 2), 8).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("abs_qty_dev"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+def q18_array_fns(spark, sf):
+    """D17 array higher-order functions (JVM-side, no UDF) over embeddings."""
+    e = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6)
+        .alias("head_sum"),
+    )
+
+
+def q19_json_fns(spark, sf):
+    """D19 JSON functions over events.props."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+    )
+
+
+def q20_case_nullsafe(spark, sf):
+    """D1/D2 case/when, coalesce, null-safe equality."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 50, "hi").when(F.col("value") > 10, "mid")
+        .otherwise("lo").alias("bucket"),
+        F.coalesce("value", F.lit(-1.0)).alias("value_filled"),
+        F.col("event_type").eqNullSafe("purchase").alias("is_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group C — temporal operators (events as the stream bed)
+# ---------------------------------------------------------------------------
+
+def q21_sessionize(spark, sf):
+    """C5 gap-based sessionization (30-minute gap)."""
+    e = _t(spark, sf, "events")
+    out = sessionize(e, key="user_id", ts_col="ts", gap_seconds=1800.0,
+                     order=["ts", "event_id"])
+    return out.select("user_id", "event_id", "session_id")
+
+
+def q22_lag_lead(spark, sf):
+    """C3 lag/lead per entity."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)).alias("gap_sec"),
+    )
+
+
+def q23_rolling_rows(spark, sf):
+    """C4 trailing row-count window."""
+    e = _t(spark, sf, "events")
+    out = rolling_rows(e, "user_id", ["ts", "event_id"],
+                       {"roll_avg_raw": F.avg("value"),
+                        "roll_max": F.max("value"),
+                        "roll_n": F.count("value")},
+                       lookback_rows=4)
+    return out.select("user_id", "event_id",
+                      F.round("roll_avg_raw", 6).alias("roll_avg"),
+                      "roll_max", "roll_n")
+
+
+def q24_rolling_time(spark, sf):
+    """C4 trailing time window (1 hour)."""
+    e = _t(spark, sf, "events")
+    out = rolling_time(e, "user_id", "ts", {"n_1h": F.count(F.lit(1))},
+                       lookback_seconds=3600.0)
+    return out.select("user_id", "event_id", "n_1h")
+
+
+def q25_asof_backward(spark, sf):
+    """C1 backward as-of join: latest purchase at or before each event."""
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value"))
+    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
+                    on="user_id", left_ts="ts", right_ts="pts",
+                    direction="backward", right_order=["purchase_value"])
+    return out.select("user_id", "event_id", "purchase_value")
+
+
+def q26_asof_forward(spark, sf):
+    """C2 forward as-of join: next purchase at or after each event."""
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("next_purchase"))
+    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
+                    on="user_id", left_ts="ts", right_ts="pts",
+                    direction="forward", right_order=["next_purchase"])
+    return out.select("user_id", "event_id", "next_purchase")
+
+
+def q25b_asof_tolerance(spark, sf):
+    """C2 as-of with tolerance: purchase within the trailing 2 hours only."""
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value"))
+    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
+                    on="user_id", left_ts="ts", right_ts="pts",
+                    direction="backward", tolerance_seconds=7200.0,
+                    right_order=["purchase_value"])
+    return out.select("user_id", "event_id", "purchase_value")
+
+
+def q27_backfill(spark, sf):
+    """C6 forward-fill: propagate last purchase value onto every event."""
+    e = _t(spark, sf, "events")
+    marked = e.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")))
+    out = forward_fill(marked, "user_id", ["ts", "event_id"], ["purchase_value"])
+    return out.select("user_id", "event_id", "purchase_value")
+
+
+def q28_dedup_latest(spark, sf):
+    """C9 latest-row dedup per entity."""
+    e = _t(spark, sf, "events")
+    out = latest_row(e, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "value")
+
+
+def q29_tumbling(spark, sf):
+    """C7 tumbling window aggregation (1 hour buckets)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").cast("double").alias("hour_epoch"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value"))
+    )
+
+
+def q30_session_stats(spark, sf):
+    """C5 session bounds + stats on top of sessionization."""
+    e = _t(spark, sf, "events")
+    sess = sessionize(e, key="user_id", ts_col="ts", gap_seconds=1800.0,
+                      order=["ts", "event_id"])
+    out = session_bounds(sess, key="user_id", ts_col="ts")
+    return out.select(
+        "user_id", "session_id",
+        epoch_seconds("session_start").alias("start_epoch"),
+        (epoch_seconds("session_end") - epoch_seconds("session_start"))
+        .alias("duration_sec"),
+        "n_turns",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group A — statistical kernels as oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def q31_zscore_global(spark, sf):
+    """A2 global z-score (pure Catalyst two-pass; §1.4.3 guard)."""
+    li = _t(spark, sf, "lineitem")
+    stats = li.agg(F.avg("l_quantity").alias("mu"),
+                   F.stddev_samp("l_quantity").alias("sd")).collect()[0]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round((F.col("l_quantity") - F.lit(stats["mu"])) / F.lit(stats["sd"]), 4)
+        .alias("z_qty"),
+    )
+
+
+def q32_zscore_group(spark, sf):
+    """A2 per-group z-score via one Window chain."""
+    li = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round((F.col("l_quantity") - F.avg("l_quantity").over(w))
+                / F.stddev_samp("l_quantity").over(w), 4).alias("z_qty"),
+    )
+
+
+def q33_cov_corr(spark, sf):
+    """A4 covariance / correlation finalize."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("corr_qp"),
+        F.round(F.stddev_samp("l_quantity"), 8).alias("sd_q"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_q"),
+    )
+
+
+def q34_dim_means(spark, sf):
+    """A3 per-dimension moments of the embedding table (posexplode path)."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 8).alias("dim_mean"),
+             F.round(F.stddev_samp("val"), 8).alias("dim_sd"))
+    )
+
+
+def q35_pca_project(spark, sf):
+    """A5/A6 PCA fit + projection (rows-only: eigh not SQL-expressible).
+
+    Correctness of the math is pytest-gated against the NumPy oracle
+    (tests/test_kernels.py); here the driver checks schema + row count.
+    """
+    e = _t(spark, sf, "embeddings")
+    df = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    m = compute_moments(df, "v")
+    model = fit_pca(m, k=8, mode="pca_whiten")
+    return df.select("vec_id", project_udf(model, "v").alias("pc"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators — dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q37_exact_dedup(spark, sf):
+    """Exact content dedup: min-id survivor per byte-identical text."""
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "n_chars")
+
+
+def q38_token_count(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish word/number pieces."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+"), 0))
+        .alias("n_word_tokens"),
+    )
+
+
+def q39_quality_score(spark, sf):
+    """Quality scoring: length / punctuation / digit / stopword signals."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    stop = F.size(F.filter(
+        toks, lambda w: (w == "the") | (w == "and") | (w == "of") | (w == "a")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
+        .alias("n_punct"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", "")))
+        .alias("n_digits"),
+        stop.alias("n_stopwords"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+def q40_langid(spark, sf):
+    """Language-ID heuristic: stopword votes per language, argmax label."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+
+    def votes(words):
+        cond = None
+        for w in words:
+            c = F.col("w") == w
+            cond = c if cond is None else (cond | c)
+        return F.size(F.filter(toks, lambda x: x.isin(list(words))))
+
+    en = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "is", "to")))
+    fr = F.size(F.filter(toks, lambda w: w.isin("le", "la", "et", "de", "un")))
+    de = F.size(F.filter(toks, lambda w: w.isin("der", "die", "und", "das", "ist")))
+    best = F.when((en >= fr) & (en >= de) & (en > 0), "en") \
+        .when((fr >= de) & (fr > 0), "fr") \
+        .when(de > 0, "de").otherwise("unknown")
+    return d.select("doc_id", en.alias("votes_en"), fr.alias("votes_fr"),
+                    de.alias("votes_de"), best.alias("lang_pred"))
+
+
+def q41_minhash_pairs(spark, sf):
+    """MinHash+LSH near-dup candidates (rows-only: hash family not in SQL)."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=5)
+
+
+def q42_simhash(spark, sf):
+    """SimHash fingerprints (rows-only: bit votes not SQL-expressible)."""
+    d = _t(spark, sf, "documents")
+    return simhash(d, "text", "doc_id", bits=16, n=3)
+
+
+def q44_cosine_topk(spark, sf):
+    """Brute-force cosine top-k similarity search (baseline ANN path)."""
+    e = _t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    q = e.filter(F.col("vec_id") == 0).select(v.alias("qv")).collect()[0]["qv"]
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(F.zip_with(v, qarr, lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                             lambda acc, x: acc + x))
+    qn = float(sum(x * x for x in q) ** 0.5)
+    return (
+        e.select("vec_id", F.round(dot / (nrm * F.lit(qn)), 6).alias("cosine"))
+        .filter(F.col("vec_id") != 0)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q45_ann_lsh(spark, sf):
+    """LSH-bucketed ANN variant (rows-only: random hyperplanes not in SQL)."""
+    from featureextraction_jl_spark.operators.dedup import embedding_near_dup_pairs
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, "embedding", "vec_id",
+                                    threshold=0.5, n_planes=4)
+
+
+def q46_doc_fingerprint(spark, sf):
+    """Document fingerprinting: stable 64-bit content hash + shingle count."""
+    d = _t(spark, sf, "documents")
+    from featureextraction_jl_spark.operators.dedup import shingle_hashes
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("fingerprint"),
+        F.size(F.array_distinct(shingle_hashes("text", 5))).alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_agg_pricing": q01_agg_pricing,
+        "q02_filter_predicates": q02_filter_predicates,
+        "q03_broadcast_join": q03_broadcast_join,
+        "q04_shuffle_join": q04_shuffle_join,
+        "q05_outer_join": q05_outer_join,
+        "q06_semi_anti": q06_semi_anti,
+        "q07_range_join": q07_range_join,
+        "q08_rollup": q08_rollup,
+        "q09_cube": q09_cube,
+        "q10_distinct": q10_distinct,
+        "q10b_approx_distinct": q10b_approx_distinct,
+        "q11_topk_global": q11_topk_global,
+        "q12_topk_per_group": q12_topk_per_group,
+        "q13_window_rank": q13_window_rank,
+        "q14_set_ops": q14_set_ops,
+        "q15_string_fns": q15_string_fns,
+        "q16_datetime_fns": q16_datetime_fns,
+        "q17_math_fns": q17_math_fns,
+        "q18_array_fns": q18_array_fns,
+        "q19_json_fns": q19_json_fns,
+        "q20_case_nullsafe": q20_case_nullsafe,
+        "q21_sessionize": q21_sessionize,
+        "q22_lag_lead": q22_lag_lead,
+        "q23_rolling_rows": q23_rolling_rows,
+        "q24_rolling_time": q24_rolling_time,
+        "q25_asof_backward": q25_asof_backward,
+        "q25b_asof_tolerance": q25b_asof_tolerance,
+        "q26_asof_forward": q26_asof_forward,
+        "q27_backfill": q27_backfill,
+        "q28_dedup_latest": q28_dedup_latest,
+        "q29_tumbling": q29_tumbling,
+        "q30_session_stats": q30_session_stats,
+        "q31_zscore_global": q31_zscore_global,
+        "q32_zscore_group": q32_zscore_group,
+        "q33_cov_corr": q33_cov_corr,
+        "q34_dim_means": q34_dim_means,
+        "q35_pca_project": q35_pca_project,
+        "q37_exact_dedup": q37_exact_dedup,
+        "q38_token_count": q38_token_count,
+        "q39_quality_score": q39_quality_score,
+        "q40_langid": q40_langid,
+        "q41_minhash_pairs": q41_minhash_pairs,
+        "q42_simhash": q42_simhash,
+        "q44_cosine_topk": q44_cosine_topk,
+        "q45_ann_lsh": q45_ann_lsh,
+        "q46_doc_fingerprint": q46_doc_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_filter_predicates": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
+              AND l_discount BETWEEN 0.02 AND 0.09
+              AND l_quantity < 24
+              AND l_returnflag IN ('A', 'N')
+        """,
+        "q03_broadcast_join": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_acctbal
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "q04_shuffle_join": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q05_outer_join": """
+            SELECT c_mktsegment,
+                   COUNT(DISTINCT c_custkey) AS n_customers,
+                   COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_no_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q06_semi_anti": """
+            SELECT
+              (SELECT COUNT(*) FROM customer c WHERE EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+              (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without
+        """,
+        "q07_range_join": """
+            SELECT o_orderpriority, COUNT(*) AS n_shipped_60d
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+            GROUP BY o_orderpriority
+        """,
+        "q08_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q09_cube": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q10_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q11_topk_global": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q12_topk_per_group": """
+            SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) WHERE rn <= 3
+        """,
+        "q13_window_rank": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   NTILE(4) OVER w AS quartile,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cume
+            FROM lineitem WHERE l_orderkey < 500
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber)
+        """,
+        "q14_set_ops": """
+            WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+            SELECT
+              (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM u
+                 INTERSECT SELECT DISTINCT o_custkey FROM h)) AS n_both,
+              (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM u
+                 EXCEPT SELECT DISTINCT o_custkey FROM h)) AS n_only_urgent
+        """,
+        "q15_string_fns": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   UPPER(SUBSTRING(text, 1, 12)) AS head_upper,
+                   LEN(string_split_regex(TRIM(text), '\\s+')) AS n_ws_tokens,
+                   COALESCE(regexp_extract(text, '^(\\w+)', 1), '') AS first_word,
+                   levenshtein(lang, 'en') AS lang_lev,
+                   CONCAT_WS('|', lang, source) AS lang_source
+            FROM documents
+        """,
+        "q16_datetime_fns": """
+            SELECT event_id,
+                   HOUR(ts) AS h,
+                   DAYOFWEEK(ts) AS dow,
+                   EPOCH(DATE_TRUNC('hour', ts)) AS hour_epoch,
+                   DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS unix_sec
+            FROM events
+        """,
+        "q17_math_fns": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(LN(1 + l_quantity), 6) AS log1p_qty,
+                   ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+                   ROUND(POW(l_discount, 2), 8) AS disc_sq,
+                   CAST(ABS(l_quantity - 25) AS DOUBLE) AS abs_qty_dev,
+                   GREATEST(l_tax, l_discount) AS max_rate,
+                   LEAST(l_tax, l_discount) AS min_rate
+            FROM lineitem WHERE l_orderkey < 2000
+        """,
+        "q18_array_fns": """
+            SELECT vec_id,
+                   LEN(embedding) AS dim,
+                   ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+                   ROUND(SQRT(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+                   ROUND(list_sum(list_transform(embedding[1:8],
+                         x -> CAST(x AS DOUBLE))), 6) AS head_sum
+            FROM embeddings
+        """,
+        "q19_json_fns": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+            FROM events
+        """,
+        "q20_case_nullsafe": """
+            SELECT event_id,
+                   CASE WHEN value > 50 THEN 'hi' WHEN value > 10 THEN 'mid'
+                        ELSE 'lo' END AS bucket,
+                   COALESCE(value, -1.0) AS value_filled,
+                   event_type IS NOT DISTINCT FROM 'purchase' AS is_purchase
+            FROM events
+        """,
+        "q21_sessionize": """
+            SELECT user_id, event_id,
+                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (SELECT user_id, event_id, ts,
+                         EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id) AS gap
+                  FROM events)
+        """,
+        "q22_lag_lead": """
+            SELECT user_id, event_id,
+                   LAG(value, 1) OVER w AS prev_value,
+                   LEAD(value, 1) OVER w AS next_value,
+                   EPOCH(ts) - LAG(EPOCH(ts)) OVER w AS gap_sec
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q23_rolling_rows": """
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER w, 6) AS roll_avg,
+                   MAX(value) OVER w AS roll_max,
+                   COUNT(value) OVER w AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "q24_rolling_time": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW) AS n_1h
+            FROM events
+        """,
+        "q25_asof_backward": """
+            SELECT e.user_id, e.event_id, p.purchase_value
+            FROM events e ASOF LEFT JOIN
+                 (SELECT user_id, ts, value AS purchase_value FROM events
+                  WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "q26_asof_forward": """
+            SELECT e.user_id, e.event_id, p.next_purchase
+            FROM events e ASOF LEFT JOIN
+                 (SELECT user_id, ts, value AS next_purchase FROM events
+                  WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts <= p.ts
+        """,
+        "q27_backfill": """
+            SELECT user_id, event_id,
+                   LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS purchase_value
+            FROM events
+        """,
+        "q28_dedup_latest": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "q29_tumbling": """
+            SELECT user_id, EPOCH(DATE_TRUNC('hour', ts)) AS hour_epoch,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id, DATE_TRUNC('hour', ts)
+        """,
+        "q30_session_stats": """
+            WITH sess AS (
+              SELECT user_id, ts,
+                     SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM (SELECT user_id, event_id, ts,
+                           EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id) AS gap
+                    FROM events))
+            SELECT user_id, session_id,
+                   EPOCH(MIN(ts)) AS start_epoch,
+                   EPOCH(MAX(ts)) - EPOCH(MIN(ts)) AS duration_sec,
+                   COUNT(*) AS n_turns
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "q31_zscore_global": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((l_quantity - (SELECT AVG(l_quantity) FROM lineitem))
+                         / (SELECT STDDEV_SAMP(l_quantity) FROM lineitem), 4) AS z_qty
+            FROM lineitem
+        """,
+        "q32_zscore_group": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND((l_quantity - AVG(l_quantity) OVER w)
+                         / STDDEV_SAMP(l_quantity) OVER w, 4) AS z_qty
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag)
+        """,
+        "q33_cov_corr": """
+            SELECT ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cov_qp,
+                   ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covp_qp,
+                   ROUND(CORR(l_quantity, l_extendedprice), 8) AS corr_qp,
+                   ROUND(STDDEV_SAMP(l_quantity), 8) AS sd_q,
+                   ROUND(VAR_SAMP(l_quantity), 6) AS var_q
+            FROM lineitem
+        """,
+        "q34_dim_means": """
+            SELECT pos, ROUND(AVG(val), 8) AS dim_mean,
+                   ROUND(STDDEV_SAMP(val), 8) AS dim_sd
+            FROM (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                         CAST(UNNEST(embedding) AS DOUBLE) AS val
+                  FROM embeddings)
+            GROUP BY pos
+        """,
+        "q37_exact_dedup": """
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN (SELECT text, MIN(doc_id) AS doc_id
+                                   FROM documents GROUP BY text) k
+              ON d.doc_id = k.doc_id
+        """,
+        "q38_token_count": """
+            SELECT doc_id,
+                   LEN(string_split_regex(TRIM(text), '\\s+')) AS n_ws_tokens,
+                   LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_word_tokens
+            FROM documents
+        """,
+        "q39_quality_score": """
+            SELECT doc_id,
+                   LENGTH(text) AS len,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                   LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                       w -> w IN ('the','and','of','a'))) AS n_stopwords,
+                   LEN(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "q40_langid": """
+            WITH v AS (
+              SELECT doc_id,
+                     LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                         w -> w IN ('the','and','of','is','to'))) AS votes_en,
+                     LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                         w -> w IN ('le','la','et','de','un'))) AS votes_fr,
+                     LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                         w -> w IN ('der','die','und','das','ist'))) AS votes_de
+              FROM documents)
+            SELECT doc_id, votes_en, votes_fr, votes_de,
+                   CASE WHEN votes_en >= votes_fr AND votes_en >= votes_de
+                             AND votes_en > 0 THEN 'en'
+                        WHEN votes_fr >= votes_de AND votes_fr > 0 THEN 'fr'
+                        WHEN votes_de > 0 THEN 'de'
+                        ELSE 'unknown' END AS lang_pred
+            FROM v
+        """,
+        "q44_cosine_topk": """
+            WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+                 n AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings WHERE vec_id != 0)
+            SELECT vec_id,
+                   ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                           i -> v[i] * qv[i]))
+                         / (SQRT(list_sum(list_transform(v, x -> x*x)))
+                            * SQRT(list_sum(list_transform(qv, x -> x*x)))),
+                         6) AS cosine
+            FROM n CROSS JOIN q ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from featureextraction_jl_spark.session import get_spark
+
+    spark = get_spark("entry-smoke")
+    df = entry(spark)
+    df.show(5, truncate=60)
+    print("rows:", df.count())

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featureextraction_jl_spark.functions.timeutil import epoch_seconds
+
 _SIDE = "__asof_side"
 _MATCH_TS = "__asof_matched_ts"
 
@@ -100,9 +102,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
             back = back.withColumnRenamed(c, a)
         out = _union_sweep(back, right, on, left_ts, right_ts, right_cols,
                            descending=True, right_order=right_order)
-        lt = F.col(left_ts).cast("double")
-        bgap = F.abs(lt - F.col(bcols[_MATCH_TS]).cast("double"))
-        fgap = F.abs(lt - F.col(_MATCH_TS).cast("double"))
+        lt = epoch_seconds(left_ts)
+        bgap = F.abs(lt - epoch_seconds(F.col(bcols[_MATCH_TS])))
+        fgap = F.abs(lt - epoch_seconds(F.col(_MATCH_TS)))
         use_b = F.col(bcols[_MATCH_TS]).isNotNull() & (
             F.col(_MATCH_TS).isNull() | (bgap <= fgap)
         )
@@ -113,7 +115,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
         raise ValueError(f"unknown direction {direction!r}")
 
     if tolerance_seconds is not None:
-        gap = F.abs(F.col(left_ts).cast("double") - F.col(_MATCH_TS).cast("double"))
+        gap = F.abs(epoch_seconds(left_ts) - epoch_seconds(F.col(_MATCH_TS)))
         within = F.col(_MATCH_TS).isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
         for c in right_cols:
             out = out.withColumn(c, F.when(within, F.col(c)))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featureextraction_jl_spark.functions.timeutil import epoch_seconds
+
 
 def sessionize(df: DataFrame, key="conv_id", ts_col: str = "ts",
                gap_seconds: float = 1800.0, order=None,
@@ -23,7 +25,7 @@ def sessionize(df: DataFrame, key="conv_id", ts_col: str = "ts",
     key = [key] if isinstance(key, str) else list(key)
     order = [ts_col] if order is None else list(order)
     w = Window.partitionBy(*key).orderBy(*[F.col(c) for c in order])
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     new_session = F.when(gap > F.lit(float(gap_seconds)), 1).otherwise(0)
     running = Window.partitionBy(*key).orderBy(*[F.col(c) for c in order]) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

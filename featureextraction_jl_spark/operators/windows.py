@@ -12,6 +12,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from featureextraction_jl_spark.functions.timeutil import epoch_micros
+
 
 def entity_window(key: Sequence[str] | str, order: Sequence[str] | str) -> WindowSpec:
     key = [key] if isinstance(key, str) else list(key)
@@ -55,7 +57,7 @@ def rolling_time(df: DataFrame, key, ts_col: str, aggs: dict[str, Column],
     """
     key = [key] if isinstance(key, str) else list(key)
     # rangeBetween needs integer bounds: order on microsecond epoch longs.
-    micros = (F.col(ts_col).cast("double") * F.lit(1e6)).cast("long")
+    micros = epoch_micros(ts_col)
     w = (
         Window.partitionBy(*key)
         .orderBy(micros)

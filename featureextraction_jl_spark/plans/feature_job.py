@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from featureextraction_jl_spark.functions.moments import compute_moments, Moments
+from featureextraction_jl_spark.functions.timeutil import epoch_seconds
 from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca, project_udf
 from featureextraction_jl_spark.operators.sessionize import sessionize
 from featureextraction_jl_spark.operators.backfill import forward_fill
@@ -52,8 +53,7 @@ def assemble_raw_vector(df: DataFrame, cfg: FeatureJobConfig) -> DataFrame:
     w = Window.partitionBy("conv_id").orderBy(*ORDER)
     wtrail = w.rowsBetween(-cfg.rolling_turns, 0)
     char_len = F.length("text").cast("double")
-    gap = (F.col("ts").cast("double")
-           - F.lag(F.col("ts").cast("double")).over(w))
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     base = F.array(
         F.log1p(char_len),
         F.coalesce(F.log1p(gap), F.lit(0.0)),
