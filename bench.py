@@ -1,0 +1,125 @@
+"""Per-round bench harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", plus turns/sec for the flagship}.
+
+Every timed query is forced through a ``noop`` sink so the whole plan
+(including projection UDFs) materializes — ``count()`` would let Catalyst
+prune the very work being measured.
+
+The flagship runs over a cached deterministic synthetic transcript fixture
+(FIXTURES.md §A) so the number is turns/sec of the real engine path:
+bucket -> sessionize -> backfill -> as-of -> moments -> eigh -> projection.
+
+Two-scale protocol (BASELINE.md): scripts/bench_scaling.py runs this file at
+local[8] and local[32] in fresh JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench_cache")
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
+MEGA_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA", "120000"))
+
+
+def ensure_fixture(spark) -> tuple[str, str]:
+    """Generate (once) and cache the transcript + snapshot parquet fixture.
+
+    Both scaling runs read identical bytes (BASELINE.md protocol step 1).
+    """
+    from featureextraction_jl_spark.sources import (
+        generate_snapshots,
+        generate_transcripts,
+    )
+
+    tdir = os.path.join(BENCH_CACHE, f"transcripts_c{N_CONVS}_m{MEGA_TURNS}")
+    sdir = os.path.join(BENCH_CACHE, f"snapshots_c{N_CONVS}")
+    if not os.path.exists(os.path.join(tdir, "_SUCCESS")):
+        generate_transcripts(spark, N_CONVS, seed=42, max_turns=5000,
+                             mega_turns=MEGA_TURNS).write.mode("overwrite").parquet(tdir)
+    if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+        generate_snapshots(spark, N_CONVS, seed=42, dim=16) \
+            .write.mode("overwrite").parquet(sdir)
+    return tdir, sdir
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_flagship(spark, tdir: str, sdir: str) -> tuple[float, int]:
+    from featureextraction_jl_spark.plans import FeatureJobConfig, run_features
+
+    t = spark.read.parquet(tdir)
+    s = spark.read.parquet(sdir)
+    n_turns = t.count()
+    cfg = FeatureJobConfig(snap_dim=16, k=8, num_buckets=int(
+        os.environ.get("SPARK_GRAFT_BUCKETS", "64")))
+    t0 = time.monotonic()
+    out, _model = run_features(t, s, cfg)
+    materialize(out)
+    return time.monotonic() - t0, n_turns
+
+
+def headline_queries(sf_dir: str):
+    import __spark_entry__ as entrymod
+
+    names = [
+        "q01_agg_pricing",      # hash agg
+        "q04_shuffle_join",     # large-large join
+        "q21_sessionize",       # window chain
+        "q25_asof_backward",    # as-of join
+        "q31_zscore_global",    # kernel, two-pass
+        "q34_dim_means",        # explode + agg
+        "q35_pca_project",      # moments + eigh + Arrow projection
+        "q41_minhash_pairs",    # LSH self-join
+        "q44_cosine_topk",      # similarity search
+    ]
+    qs = entrymod.queries()
+    return [(n, qs[n]) for n in names]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from featureextraction_jl_spark.session import get_spark
+
+    spark = get_spark("fe-bench", master=f"local[{cpus}]")
+    tdir, sdir = ensure_fixture(spark)
+
+    timings: dict[str, float] = {}
+
+    flag_sec, n_turns = bench_flagship(spark, tdir, sdir)
+    timings["flagship_feature_job"] = round(flag_sec, 3)
+
+    for name, fn in headline_queries(sf_dir):
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query wall time (flagship feature job + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "flagship_turns": n_turns,
+        "flagship_turns_per_sec": round(n_turns / flag_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

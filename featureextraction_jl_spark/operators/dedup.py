@@ -65,15 +65,20 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     rnd = random.Random(42)
     coefs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
 
-    def perm(a: int, b: int):
-        return lambda h: (((F.abs(h) % F.lit(p)) * F.lit(a)) + F.lit(b)) % F.lit(p)
-
-    sh = df.select(id_col, shingle_hashes(text_col, k).alias("__sh"))
-    sig_cols = [
-        F.array_min(F.transform("__sh", perm(a, b))).alias(f"mh_{i}")
+    # Explode shingles once, then 32 partial+final min-aggregates over the
+    # hashed long column — the shingle hash is computed exactly once per
+    # gram (array-lambda variants re-evaluate the whole shingle array per
+    # permutation after Catalyst's project collapse: 32x the work).
+    grams = df.select(
+        id_col, F.explode(F.array_distinct(shingle_hashes(text_col, k))).alias("__h"))
+    hh = F.abs(F.col("__h")) % F.lit(p)
+    aggs = [
+        F.min((hh * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coefs)
     ]
-    return sh.select(id_col, F.array(*sig_cols).alias("signature"))
+    sig = grams.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)])
+                      .alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",

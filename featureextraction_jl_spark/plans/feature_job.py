@@ -38,6 +38,7 @@ class FeatureJobConfig:
     mode: str = "pca_whiten"        # pca | pca_whiten | zca
     snap_dim: int = 16              # dim of snapshot vectors
     rolling_turns: int = 8
+    cache_prepared: bool = False    # persist the pre-kernel frame between passes
 
 
 ORDER = ["ts", "turn_idx"]  # deterministic total order under duplicate ts
@@ -97,6 +98,14 @@ def run_features(transcripts: DataFrame, snapshots: DataFrame | None = None,
     cfg = cfg or FeatureJobConfig()
     prepared = build_turn_features(transcripts, snapshots, cfg)
     if model is None:
+        # Fit pass reads only raw_vec (column-pruned chain); the projection
+        # pass recomputes the chain with the text payload.  Measured: caching
+        # `prepared` costs more than recomputing the JVM chain because cache
+        # population materializes the text-heavy rows; set
+        # cfg.cache_prepared=True to trade memory for the second pass when
+        # the chain is compute-bound instead (wide windows, many snapshots).
+        if cfg.cache_prepared:
+            prepared = prepared.persist()
         moments = compute_moments(prepared, "raw_vec")
         model = fit_pca(moments, k=cfg.k, mode=cfg.mode)
     out = prepared.select(
