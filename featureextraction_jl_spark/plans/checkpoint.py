@@ -1,0 +1,243 @@
+"""Checkpoint-resumable feature runs with per-unit lineage manifests (E3/E4).
+
+The north rule requires runs to be "checkpoint-resumable with per-partition
+lineage manifests and metrics" (BASELINE.json:14).  Spark has no built-in
+batch-job resume, so the unit of resumption here is a **conv_id hash bucket
+group**: unit *i* owns every conversation with ``pmod(xxhash64(conv_id),
+n_units) == i``.  Every engine operator (sessionize, lag/lead, backfill,
+as-of join, projection) partitions by conv_id, so the per-unit decomposition
+is exact — running units independently and unioning their outputs equals one
+global run (tested in tests/test_checkpoint.py).
+
+Protocol (manifest-last, crash-safe):
+
+1. **Fingerprint** the input (file listing: relative path, size, mtime ->
+   sha256).  On Iceberg the fingerprint is the snapshot id — same role:
+   detect that a manifest refers to the same immutable input.
+2. **Fit stage**: global moment accumulation + driver-side eigh, persisted as
+   ``_manifest/model.npz`` + ``_manifest/fit.json`` (n, wall_s, explained
+   variance, moment checksum).  Skipped on resume when fingerprint+config
+   match.
+3. **Transform stage**, one unit at a time: filter -> transform-only
+   ``run_features`` -> parquet ``unit=<i>/`` -> gather metrics (rows via
+   ``Observation`` — no second pass — plus bytes/files/wall) -> atomically
+   write ``_manifest/unit_<i>.json`` (tmp + ``os.replace``).  A crash between
+   data write and manifest write simply redoes the unit; the data write is
+   idempotent (per-unit overwrite).
+4. ``_manifest/job.json`` aggregates per-unit metrics (rows, bytes, seconds).
+
+At the 10^12-turn design scale the unit filter aligns with the Iceberg
+``bucket(n, conv_id)`` partition transform, so each unit's scan prunes to its
+own files instead of filtering a full scan; the parquet sandbox path filters
+(still one scan per unit, stated in the manifest as ``pruning: "filter"``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import asdict
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca
+from featureextraction_jl_spark.functions.moments import compute_moments
+from featureextraction_jl_spark.plans.feature_job import (
+    FeatureJobConfig,
+    build_turn_features,
+    run_features,
+)
+
+MANIFEST_DIR = "_manifest"
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by the test-only fail_after_units hook to model a mid-run kill."""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints and atomic manifest IO
+# ---------------------------------------------------------------------------
+
+def input_fingerprint(*paths: str) -> str:
+    """sha256 over the (path, size, mtime_ns) listing of the input files.
+
+    Iceberg equivalent: the table's current snapshot id.  Both answer "is
+    this manifest about the same immutable input bytes?".
+    """
+    h = hashlib.sha256()
+    for root in paths:
+        if root is None:
+            h.update(b"<none>")
+            continue
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if name.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, name)
+                st = os.stat(full)
+                rel = os.path.relpath(full, root)
+                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def config_hash(cfg: FeatureJobConfig, n_units: int) -> str:
+    payload = json.dumps({**asdict(cfg), "n_units": n_units}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _write_json_atomic(path: str, obj: dict[str, Any]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX: manifest appears fully or not at all
+
+
+def _read_json(path: str) -> dict[str, Any] | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(num data files, total bytes) under a written parquet dir."""
+    files = bytes_ = 0
+    for dirpath, _dirs, names in os.walk(path):
+        for name in names:
+            if name.startswith(("_", ".")):
+                continue
+            files += 1
+            bytes_ += os.stat(os.path.join(dirpath, name)).st_size
+    return files, bytes_
+
+
+# ---------------------------------------------------------------------------
+# The resumable runner
+# ---------------------------------------------------------------------------
+
+def _unit_filter(df: DataFrame, unit: int, n_units: int) -> DataFrame:
+    return df.filter(F.pmod(F.xxhash64("conv_id"), F.lit(n_units)) == unit)
+
+
+def run_features_resumable(
+    spark: SparkSession,
+    transcripts_path: str,
+    out_dir: str,
+    snapshots_path: str | None = None,
+    cfg: FeatureJobConfig | None = None,
+    n_units: int = 8,
+    fail_after_units: int | None = None,
+) -> dict[str, Any]:
+    """Run (or resume) the flagship feature job; returns the job manifest.
+
+    Re-invoking with the same inputs/config/out_dir skips every unit whose
+    manifest is valid — a killed run resumes where it stopped.  Changed input
+    bytes or config invalidate all manifests (fingerprint mismatch) and the
+    job recomputes from scratch.
+    """
+    cfg = cfg or FeatureJobConfig()
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+
+    fp = input_fingerprint(transcripts_path, snapshots_path)
+    chash = config_hash(cfg, n_units)
+
+    def valid(man: dict[str, Any] | None) -> bool:
+        return bool(man) and man.get("input_fingerprint") == fp \
+            and man.get("config_hash") == chash
+
+    transcripts = spark.read.parquet(transcripts_path)
+    snapshots = spark.read.parquet(snapshots_path) if snapshots_path else None
+
+    # ---- fit stage -------------------------------------------------------
+    model_path = os.path.join(mdir, "model.npz")
+    fit_man_path = os.path.join(mdir, "fit.json")
+    fit_man = _read_json(fit_man_path)
+    if valid(fit_man) and os.path.exists(model_path):
+        model = PCAModel.load(model_path)
+    else:
+        t0 = time.monotonic()
+        prepared = build_turn_features(transcripts, snapshots, cfg)
+        moments = compute_moments(prepared, "raw_vec")
+        model = fit_pca(moments, k=cfg.k, mode=cfg.mode)
+        model.save(model_path)
+        fit_man = {
+            "stage": "fit",
+            "input_fingerprint": fp,
+            "config_hash": chash,
+            "n_rows": int(moments.n),
+            "p": int(moments.mean.shape[0]),
+            "moment_checksum": hashlib.sha256(
+                moments.mean.tobytes() + moments.m2.tobytes()).hexdigest()[:16],
+            "explained_variance_ratio": [
+                round(float(r), 8) for r in model.explained_variance_ratio],
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+        _write_json_atomic(fit_man_path, fit_man)
+
+    # ---- transform stage, unit by unit ----------------------------------
+    units_done, units_skipped = [], []
+    for unit in range(n_units):
+        upath = os.path.join(mdir, f"unit_{unit}.json")
+        man = _read_json(upath)
+        if valid(man):
+            units_skipped.append(unit)
+            continue
+        if fail_after_units is not None and len(units_done) >= fail_after_units:
+            raise SimulatedCrash(f"injected crash before unit {unit}")
+        t0 = time.monotonic()
+        t_u = _unit_filter(transcripts, unit, n_units)
+        s_u = _unit_filter(snapshots, unit, n_units) if snapshots is not None else None
+        out, _ = run_features(t_u, s_u, cfg, model=model)
+        obs = Observation(f"unit_{unit}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        data_dir = os.path.join(out_dir, f"unit={unit}")
+        out.write.mode("overwrite").parquet(data_dir)
+        n_files, n_bytes = _dir_stats(data_dir)
+        man = {
+            "stage": "transform",
+            "unit": unit,
+            "n_units": n_units,
+            "input_fingerprint": fp,
+            "config_hash": chash,
+            "model": os.path.basename(model_path),
+            "pruning": "filter",  # iceberg: bucket-partition pruning instead
+            "rows": int(obs.get["rows"]),
+            "output_files": n_files,
+            "output_bytes": n_bytes,
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+        _write_json_atomic(upath, man)
+        units_done.append(unit)
+
+    # ---- job summary -----------------------------------------------------
+    unit_mans = [_read_json(os.path.join(mdir, f"unit_{u}.json"))
+                 for u in range(n_units)]
+    job = {
+        "input_fingerprint": fp,
+        "config_hash": chash,
+        "n_units": n_units,
+        "units_computed_this_run": units_done,
+        "units_resumed": units_skipped,
+        "rows": sum(m["rows"] for m in unit_mans),
+        "output_bytes": sum(m["output_bytes"] for m in unit_mans),
+        "wall_s_per_unit": {str(m["unit"]): m["wall_s"] for m in unit_mans},
+        "fit": fit_man,
+    }
+    _write_json_atomic(os.path.join(mdir, "job.json"), job)
+    return job
+
+
+def read_feature_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the union of all completed units' outputs."""
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "unit=*"))

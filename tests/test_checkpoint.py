@@ -1,0 +1,96 @@
+"""E3 checkpoint/resume: kill-resume equivalence + manifest protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from featureextraction_jl_spark.plans import FeatureJobConfig, run_features
+from featureextraction_jl_spark.plans.checkpoint import (
+    SimulatedCrash,
+    config_hash,
+    input_fingerprint,
+    read_feature_output,
+    run_features_resumable,
+)
+from featureextraction_jl_spark.sources import generate_snapshots, generate_transcripts
+
+CFG = FeatureJobConfig(num_buckets=8, k=4, snap_dim=16)
+N_UNITS = 4
+
+
+@pytest.fixture(scope="module")
+def inputs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ckpt_inputs")
+    tdir, sdir = str(base / "transcripts"), str(base / "snapshots")
+    generate_transcripts(spark, 150, seed=7, max_turns=60, mega_turns=400) \
+        .write.parquet(tdir)
+    generate_snapshots(spark, 150, seed=7, dim=16).write.parquet(sdir)
+    return tdir, sdir
+
+
+def _collect(df):
+    rows = df.select("conv_id", "turn_idx", "text", "feature_vec") \
+        .orderBy("conv_id", "turn_idx").collect()
+    vecs = np.array([r.feature_vec for r in rows])
+    keys = [(r.conv_id, r.turn_idx, r.text) for r in rows]
+    return keys, vecs
+
+
+@pytest.fixture(scope="module")
+def direct(spark, inputs):
+    tdir, sdir = inputs
+    out, _ = run_features(spark.read.parquet(tdir),
+                          spark.read.parquet(sdir), CFG)
+    return _collect(out)
+
+
+def test_resumable_equals_direct(spark, inputs, direct, tmp_path):
+    tdir, sdir = inputs
+    out = str(tmp_path / "out")
+    job = run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+
+    k1, v1 = _collect(read_feature_output(spark, out))
+    k2, v2 = direct
+    assert k1 == k2                      # byte-equal text, identical ordering
+    np.testing.assert_allclose(v1, v2, rtol=1e-8, atol=1e-10)
+    assert job["rows"] == len(k1)
+    assert sorted(job["units_computed_this_run"]) == list(range(N_UNITS))
+
+
+def test_kill_then_resume(spark, inputs, direct, tmp_path):
+    tdir, sdir = inputs
+    out = str(tmp_path / "out")
+    with pytest.raises(SimulatedCrash):
+        run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS,
+                               fail_after_units=2)
+    # crash left exactly 2 unit manifests + the fit manifest behind
+    mdir = os.path.join(out, "_manifest")
+    done = sorted(f for f in os.listdir(mdir) if f.startswith("unit_"))
+    assert len(done) == 2
+    assert os.path.exists(os.path.join(mdir, "model.npz"))
+
+    job = run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+    assert len(job["units_resumed"]) == 2        # crashed units were kept
+    assert len(job["units_computed_this_run"]) == 2
+
+    k1, v1 = _collect(read_feature_output(spark, out))
+    k2, v2 = direct
+    assert k1 == k2
+    np.testing.assert_allclose(v1, v2, rtol=1e-8, atol=1e-10)
+
+    with open(os.path.join(mdir, "job.json")) as f:
+        man = json.load(f)
+    assert man["rows"] == len(k1)
+    assert set(man["wall_s_per_unit"]) == {str(u) for u in range(N_UNITS)}
+
+
+def test_manifest_invalidation_keys():
+    # config changes and input changes must invalidate manifests
+    assert config_hash(CFG, 4) != config_hash(CFG, 8)
+    assert config_hash(CFG, 4) != config_hash(FeatureJobConfig(num_buckets=8, k=5), 4)
+    assert input_fingerprint("/root/testdata/sf0.001") \
+        != input_fingerprint("/root/testdata/sf0.01")

@@ -1,0 +1,56 @@
+"""E7: real `spark-submit --py-files engine.zip` smoke run (SURVEY.md §2 E7).
+
+Verifies the packaged deployment path end-to-end: zip build, a fresh JVM via
+spark-submit (not the pytest session), the resumable job CLI, manifests, and
+readable output.  The package import inside the submitted job resolves from
+the zip only — cwd is moved off the repo to prove it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+from package import build_zip  # noqa: E402
+
+from featureextraction_jl_spark.sources import generate_transcripts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_smoke(spark, tmp_path):
+    tdir, out = str(tmp_path / "transcripts"), str(tmp_path / "out")
+    generate_transcripts(spark, 40, seed=3, max_turns=30, mega_turns=0) \
+        .write.parquet(tdir)
+
+    zip_path = build_zip(str(tmp_path / "engine.zip"))
+    proc = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "run_features.py"),
+         "--transcripts", tdir, "--out", out,
+         "--buckets", "4", "--units", "2", "--k", "3", "--snap-dim", "4"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path),  # off-repo: the zip must satisfy the import
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "ok" and summary["rows"] > 0
+
+    mdir = os.path.join(out, "_manifest")
+    assert os.path.exists(os.path.join(mdir, "job.json"))
+    assert os.path.exists(os.path.join(mdir, "model.npz"))
+    feats = spark.read.option("basePath", out).parquet(os.path.join(out, "unit=*"))
+    assert feats.count() == summary["rows"]
+    assert "feature_vec" in feats.columns
