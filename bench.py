@@ -103,10 +103,14 @@ def main() -> None:
     flag_sec, n_turns = bench_flagship(spark, tdir, sdir)
     timings["flagship_feature_job"] = round(flag_sec, 3)
 
-    for name, fn in headline_queries(sf_dir):
-        t0 = time.monotonic()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+    # SPARK_GRAFT_FLAGSHIP_ONLY=1: scaling harness mode (scripts/
+    # bench_scaling.py) — the two-cluster-size metric is defined over the
+    # flagship job alone, so skip the operator suite.
+    if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") != "1":
+        for name, fn in headline_queries(sf_dir):
+            t0 = time.monotonic()
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -1,0 +1,20 @@
+"""Structured Streaming twins of the batch operators (SURVEY.md §2 E5/E6).
+
+Same kernel math as the batch path — only the driver loop differs: the
+mergeable moment triple (functions/moments.py) becomes per-key streaming
+state, and gap sessionization becomes ``session_window``.
+"""
+
+from featureextraction_jl_spark.streaming.ingest import (
+    read_transcript_stream,
+    sessionized_turn_counts,
+    windowed_turn_stats,
+)
+from featureextraction_jl_spark.streaming.state import streaming_moments
+
+__all__ = [
+    "read_transcript_stream",
+    "sessionized_turn_counts",
+    "windowed_turn_stats",
+    "streaming_moments",
+]

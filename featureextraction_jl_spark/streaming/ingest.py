@@ -1,0 +1,75 @@
+"""Streaming ingest + windowed aggregation twins (E5).
+
+Design target: a transcript event stream (Kafka / Iceberg incremental scan)
+with event-time watermarking so late turns are bounded and dropped-late rows
+are observable.  The sandbox twin reads a parquet directory as a file stream
+with ``trigger(availableNow=True)`` — identical plan shape, deterministic
+tests.
+
+The windowed aggregations here are the streaming twins of the batch
+operators: ``F.window`` <-> operators/windows.py tumbling/sliding,
+``F.session_window`` <-> operators/sessionize.py (gap semantics: a session
+extends while consecutive events are < gap apart; the batch twin's
+strict-inequality boundary matches for non-degenerate gaps, pinned in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.sources.tables import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           watermark: str = "10 minutes",
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of transcript turns with an event-time watermark.
+
+    On a cluster the source would be Kafka or an Iceberg incremental scan —
+    same downstream plan.  The watermark bounds state for every windowed agg
+    and drops turns later than `watermark` behind the max event time seen.
+    """
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).withWatermark("ts", watermark)
+
+
+def sessionized_turn_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-conversation session aggregation via ``session_window`` (E5).
+
+    Streaming twin of the batch cumulative-sum sessionizer: one output row
+    per (conv_id, session) with its bounds and turn count.
+    """
+    return (
+        stream.groupBy("conv_id", F.session_window("ts", gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("turns"),
+             F.min("ts").alias("first_ts"),
+             F.max("ts").alias("last_ts"))
+        .select("conv_id", "session.start", "session.end", "turns",
+                "first_ts", "last_ts")
+    )
+
+
+def windowed_turn_stats(stream: DataFrame, window: str = "1 hour",
+                        slide: str | None = None) -> DataFrame:
+    """Tumbling/sliding per-conv turn stats (streaming twin of C7)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    char_len = F.length("text").cast("double")
+    return (
+        stream.groupBy("conv_id", win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("turns"),
+             F.avg(char_len).alias("avg_chars"),
+             F.sum(char_len).alias("sum_chars"))
+        .select("conv_id", "w.start", "w.end", "turns", "avg_chars", "sum_chars")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> None:
+    """Drain an availableNow stream into the in-memory sink (test harness)."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()

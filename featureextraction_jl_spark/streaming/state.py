@@ -1,0 +1,69 @@
+"""Stateful streaming moment accumulation (E6).
+
+Per-key incremental mean/covariance: the state carried across micro-batches
+is exactly the mergeable (n, mean, M2) triple from functions/moments.py, and
+each micro-batch is folded in with the same Chan/Golub/LeVeque merge the
+batch path uses — so the streamed result equals the batch result on the same
+rows (merge-invariance, tested), and both equal the reference's
+``Statistics.mean/cov`` semantics.
+
+Arrow-vectorized throughout: each micro-batch group arrives as pandas frames,
+reduced with one BLAS GEMM (``batch_moments``) — never a per-row Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from featureextraction_jl_spark.functions.moments import (
+    Moments,
+    batch_moments,
+    merge_moments,
+)
+
+_OUT_SCHEMA = "key string, n long, mean array<double>, m2 array<double>"
+_STATE_SCHEMA = "n long, mean array<double>, m2 array<double>"
+
+
+def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFrame:
+    """Per-key running moments over a stream of array<double> vectors.
+
+    Emits one (key, n, mean, m2) row per key per micro-batch that touched it
+    (update semantics); ``n`` is cumulative since stream start.  Downstream,
+    ``fit_pca`` can be applied to any emission — giving continuously
+    refreshed whitening models at 10^12-turn scale without re-scanning
+    history.
+    """
+
+    def update(key: Tuple[Any, ...],
+               pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n0, mean0, m20 = state.get
+            mean0 = np.asarray(mean0, dtype=np.float64)
+            p = mean0.shape[0]
+            acc = Moments(int(n0), mean0,
+                          np.asarray(m20, dtype=np.float64).reshape(p, p))
+        else:
+            acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            acc = merge_moments(acc, batch_moments(np.stack(pdf[vec_col].to_numpy())))
+        state.update((acc.n, acc.mean.tolist(), acc.m2.ravel().tolist()))
+        yield pd.DataFrame({"key": [key[0]], "n": [acc.n],
+                            "mean": [acc.mean.tolist()],
+                            "m2": [acc.m2.ravel().tolist()]})
+
+    return (
+        stream.select(key_col, vec_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(update, _OUT_SCHEMA, _STATE_SCHEMA,
+                                "update", GroupStateTimeout.NoTimeout)
+    )

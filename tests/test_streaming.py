@@ -1,0 +1,94 @@
+"""E5/E6: streaming twins equal their batch operators on the same rows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.functions.moments import (
+    compute_moments,
+    merge_moment_rows,
+)
+from featureextraction_jl_spark.operators.sessionize import sessionize
+from featureextraction_jl_spark.sources import generate_transcripts
+from featureextraction_jl_spark.streaming.ingest import (
+    read_transcript_stream,
+    run_to_memory,
+    sessionized_turn_counts,
+    windowed_turn_stats,
+)
+from featureextraction_jl_spark.streaming.state import streaming_moments
+
+GAP_S = 1800
+
+
+@pytest.fixture(scope="module")
+def tdir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    generate_transcripts(spark, 80, seed=11, max_turns=50, mega_turns=0) \
+        .write.parquet(path)
+    return path
+
+
+def test_session_window_matches_batch_sessionize(spark, tdir):
+    stream = read_transcript_stream(spark, tdir, watermark="0 seconds")
+    run_to_memory(sessionized_turn_counts(stream, gap=f"{GAP_S} seconds"),
+                  "sess_stream")
+    got = {(r.conv_id, r.first_ts, r.turns)
+           for r in spark.table("sess_stream").collect()}
+
+    batch = sessionize(spark.read.parquet(tdir), gap_seconds=GAP_S,
+                       order=["ts", "turn_idx"])
+    want = {(r.conv_id, r.first_ts, r.turns) for r in
+            batch.groupBy("conv_id", "session_id")
+                 .agg(F.min("ts").alias("first_ts"),
+                      F.count(F.lit(1)).alias("turns")).collect()}
+    assert got == want
+
+
+def test_windowed_stats_match_batch_groupby(spark, tdir):
+    stream = read_transcript_stream(spark, tdir, watermark="0 seconds")
+    run_to_memory(windowed_turn_stats(stream, window="1 hour"), "win_stream")
+    got = spark.table("win_stream")
+
+    batch = (spark.read.parquet(tdir)
+             .groupBy("conv_id", F.window("ts", "1 hour").alias("w"))
+             .agg(F.count(F.lit(1)).alias("turns"))
+             .select("conv_id", "w.start", "turns"))
+    g = {(r.conv_id, r.start, r.turns) for r in
+         got.select("conv_id", "start", "turns").collect()}
+    w = {(r.conv_id, r.start, r.turns) for r in batch.collect()}
+    assert g == w
+
+
+def test_streaming_moments_equal_batch(spark, tmp_path):
+    # deterministic vectors, several parquet files => several micro-batches
+    rng = np.random.default_rng(5)
+    vdir = str(tmp_path / "vecs")
+    for i in range(3):
+        pdf = pd.DataFrame({
+            "key": [f"k{j % 4}" for j in range(200)],
+            "vec": list(rng.normal(size=(200, 6))),
+        })
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(vdir)
+
+    stream = (spark.readStream.schema("key string, vec array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(vdir))
+    run_to_memory(streaming_moments(stream, "key", "vec"), "mom_stream",
+                  output_mode="update")
+
+    # last emission per key is the cumulative state; merge across keys
+    emitted = spark.table("mom_stream")
+    last = emitted.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("key").orderBy(F.col("n").desc()))
+    ).filter("rk = 1").drop("rk")
+    streamed = merge_moment_rows(last)
+
+    batch = compute_moments(spark.read.parquet(vdir), "vec")
+    assert streamed.n == batch.n == 600
+    np.testing.assert_allclose(streamed.mean, batch.mean, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(streamed.m2, batch.m2, rtol=1e-8, atol=1e-8)
