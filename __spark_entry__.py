@@ -34,7 +34,12 @@ from featureextraction_jl_spark.operators.dedup import (
     exact_dedup,
     latest_row,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash,
+)
+from featureextraction_jl_spark.operators.multimodal import (
+    attach_media,
+    extract_media_meta,
 )
 from featureextraction_jl_spark.operators.sessionize import sessionize, session_bounds
 from featureextraction_jl_spark.operators.windows import rolling_rows, rolling_time
@@ -604,9 +609,37 @@ def q41_minhash_pairs(spark, sf):
 
 
 def q42_simhash(spark, sf):
-    """SimHash fingerprints (rows-only: bit votes not SQL-expressible)."""
+    """SimHash fingerprints, portable md5-gram hash => full DuckDB oracle.
+
+    Per bit b of the 60-bit gram hash: vote +1/-1 over distinct lowercase
+    3-grams; fingerprint bit set iff the vote is positive.  The oracle
+    rebuilds the identical votes with unnested substrings + md5 in SQL.
+    """
     d = _t(spark, sf, "documents")
-    return simhash(d, "text", "doc_id", bits=16, n=3)
+    return simhash(d, "text", "doc_id", bits=16, n=3, portable=True)
+
+
+def q43_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Character-gram sets, |intersection| by groupBy count over the shared-gram
+    join, Jaccard = inter / (|A|+|B|-inter) — the standard scalable
+    set-similarity plan; the oracle rebuilds it with unnested substrings.
+    """
+    d = _t(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q47_media_meta(spark, sf):
+    """Multimodal plumbing: binary payload column -> typed metadata struct.
+
+    Payloads are deterministic magic+UTF-8 blobs (attach_media), metadata is
+    extracted with Arrow-batched mapInPandas over the binary column; the
+    oracle reconstructs every field (length, magic hex, content md5) in SQL.
+    """
+    d = _t(spark, sf, "documents")
+    return extract_media_meta(attach_media(d, "doc_id", "text"))
 
 
 def q44_cosine_topk(spark, sf):
@@ -637,13 +670,23 @@ def q45_ann_lsh(spark, sf):
 
 
 def q46_doc_fingerprint(spark, sf):
-    """Document fingerprinting: stable 64-bit content hash + shingle count."""
+    """Document fingerprinting: md5 content digest + distinct 5-gram count.
+
+    md5 (not xxhash64) so the digest is engine-portable and the DuckDB
+    oracle checks values, not just shape; the shingle count is the exact
+    distinct-substring count the near-dup family operates on.
+    """
     d = _t(spark, sf, "documents")
-    from featureextraction_jl_spark.operators.dedup import shingle_hashes
+    n_shingles = F.when(
+        F.length("text") >= 5,
+        F.size(F.array_distinct(F.expr(
+            "transform(sequence(1, length(lower(text)) - 4),"
+            " i -> substring(lower(text), i, 5))")))
+    ).otherwise(F.lit(0))
     return d.select(
         "doc_id",
-        F.xxhash64("text").alias("fingerprint"),
-        F.size(F.array_distinct(shingle_hashes("text", 5))).alias("n_shingles"),
+        F.md5("text").alias("fingerprint"),
+        n_shingles.cast("long").alias("n_shingles"),
     )
 
 
@@ -696,9 +739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_langid": q40_langid,
         "q41_minhash_pairs": q41_minhash_pairs,
         "q42_simhash": q42_simhash,
+        "q43_ngram_jaccard": q43_ngram_jaccard,
         "q44_cosine_topk": q44_cosine_topk,
         "q45_ann_lsh": q45_ann_lsh,
         "q46_doc_fingerprint": q46_doc_fingerprint,
+        "q47_media_meta": q47_media_meta,
     }
 
 
@@ -902,6 +947,16 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
+        "q25b_asof_tolerance": """
+            SELECT e.user_id, e.event_id,
+                   CASE WHEN p.ts IS NOT NULL
+                             AND e.ts - p.ts <= INTERVAL 7200 SECONDS
+                        THEN p.purchase_value END AS purchase_value
+            FROM events e ASOF LEFT JOIN
+                 (SELECT user_id, ts, value AS purchase_value FROM events
+                  WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
         "q26_asof_forward": """
             SELECT e.user_id, e.event_id, p.next_purchase
             FROM events e ASOF LEFT JOIN
@@ -1030,6 +1085,70 @@ def oracle_sql() -> dict[str, str]:
                             * SQRT(list_sum(list_transform(qv, x -> x*x)))),
                          6) AS cosine
             FROM n CROSS JOIN q ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # identical votes to the Spark side: distinct lowercase 3-grams,
+        # 60-bit md5 hash, per-bit +/-1 vote, bit set iff vote > 0
+        "q42_simhash": """
+            WITH grams AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(unnest(list_distinct(list_transform(
+                           range(1, GREATEST(length(text) - 2, 1) + 1),
+                           i -> substr(lower(text), CAST(i AS INT), 3))))), 1, 15))::BIGINT AS h
+                FROM documents
+            ),
+            votes AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM grams CROSS JOIN range(0, 16) bb(b)
+                GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "q43_ngram_jaccard": """
+            WITH grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, GREATEST(length(text) - 2, 1) + 1),
+                           i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
+                FROM documents
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "q47_media_meta": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                   CAST(strlen(text) + 4 AS BIGINT) AS n_bytes,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89504e47'
+                        WHEN 1 THEN '52494646' ELSE '00000018' END AS magic_hex,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "q46_doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint,
+                   CAST(CASE WHEN length(text) >= 5 THEN
+                       len(list_distinct(list_transform(
+                           range(1, length(text) - 3),
+                           i -> substr(lower(text), CAST(i AS INT), 5))))
+                   ELSE 0 END AS BIGINT) AS n_shingles
+            FROM documents
         """,
     }
 

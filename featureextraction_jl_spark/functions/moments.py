@@ -135,9 +135,33 @@ def _arrow_partials(batches, col_idx: int = 0):
         })
 
 
-def _partials_df(df: DataFrame, vec_col: str) -> DataFrame:
+def _arrow_partials_cols(batches):
+    """mapInArrow worker over p scalar double columns — column_stack is
+    zero-copy per column (no per-row array objects anywhere)."""
+    import pyarrow as pa
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        x = np.column_stack([np.asarray(b.column(i), dtype=np.float64)
+                             for i in range(b.num_columns)])
+        m = batch_moments(x)
+        yield pa.RecordBatch.from_pydict({
+            "n": pa.array([m.n], pa.int64()),
+            "mean": pa.array([m.mean.tolist()], pa.list_(pa.float64())),
+            "m2": pa.array([m.m2.ravel().tolist()], pa.list_(pa.float64())),
+        })
+
+
+def _partials_df(df: DataFrame, vec_col) -> DataFrame:
     # Select-before-map: column pruning can't see inside the UDF, so prune
-    # explicitly (SURVEY.md §4 column-pruning caveat).
+    # explicitly (SURVEY.md §4 column-pruning caveat).  A list of scalar
+    # double columns takes the fully-columnar path (preferred: the plan
+    # never builds a per-row array); a single array<double> column reshapes
+    # the flat Arrow values buffer.
+    if isinstance(vec_col, (list, tuple)):
+        return df.select(*vec_col).mapInArrow(_arrow_partials_cols,
+                                              schema=_PARTIAL_SCHEMA)
     return df.select(vec_col).mapInArrow(_arrow_partials, schema=_PARTIAL_SCHEMA)
 
 
@@ -147,11 +171,13 @@ def _row_to_moments(row) -> Moments:
     return Moments(int(row["n"]), mean, np.asarray(row["m2"], dtype=np.float64).reshape(p, p))
 
 
-def compute_moments(df: DataFrame, vec_col: str) -> Moments:
+def compute_moments(df: DataFrame, vec_col) -> Moments:
     """Driver-merge strategy: per-batch Arrow partials -> collect -> Chan-merge.
 
-    Only moment partials cross the executor->driver boundary — O(batches*p^2)
-    doubles, independent of row count.
+    ``vec_col``: an array<double> column name, or a list of scalar double
+    column names (faster — fully columnar Arrow transfer).  Only moment
+    partials cross the executor->driver boundary — O(batches*p^2) doubles,
+    independent of row count.
     """
     rows = _partials_df(df, vec_col).collect()
     acc = Moments(0, np.zeros(0), np.zeros((0, 0)))

@@ -50,6 +50,25 @@ def shingle_hashes(text_col: str, k: int = 5):
                        lambda i: F.xxhash64(t.substr(i, F.lit(k))))
 
 
+def portable_gram_hash(gram):
+    """60-bit hash any ANSI engine can reproduce: first 15 hex chars of md5.
+
+    xxhash64 is Spark-specific; md5 is everywhere (DuckDB oracle:
+    ``('0x' || substr(md5(g), 1, 15))::BIGINT``).  60 bits keeps the value
+    positive in an int64.  Slower than xxhash64 — use only where
+    cross-engine verification matters; the scale path stays on xxhash64.
+    """
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def portable_shingle_hashes(text_col: str, k: int = 5):
+    """Portable-hash twin of :func:`shingle_hashes` (md5-based, oracle-able)."""
+    t = F.lower(F.col(text_col))
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: portable_gram_hash(t.substr(i, F.lit(k))))
+
+
 def minhash_signature(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 32, k: int = 5) -> DataFrame:
     """MinHash signatures: shingle -> num_hashes permutations -> min each.
@@ -146,13 +165,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64, n: int = 3) -> DataFrame:
+            bits: int = 64, n: int = 3, portable: bool = False) -> DataFrame:
     """64-bit SimHash fingerprint per document, JVM-side.
 
     Per bit b: sum over n-gram hashes of sign(bit b of hash); fingerprint
     bit = 1 iff sum > 0.  aggregate() over the shingle array — no UDF.
+    ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash so the
+    result is reproducible in any SQL engine (DuckDB oracle-checkable).
     """
-    grams = F.array_distinct(shingle_hashes(text_col, n))
+    mk = portable_shingle_hashes if portable else shingle_hashes
+    grams = F.array_distinct(mk(text_col, n))
 
     def vote(b: int):
         def step(acc, h):

