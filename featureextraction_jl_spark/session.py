@@ -29,6 +29,26 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.python.worker.reuse": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+    # Pre-fault the whole heap at JVM start (Xms=Xmx + AlwaysPreTouch).
+    # Measured on this host: concurrent first-touch page faults collapse
+    # ~50x under parallelism (memcpy microbench: 9.3 GB/s at 1 proc ->
+    # 0.2 GB/s aggregate at 8 untouched-buffer procs; 52.6 GB/s once
+    # pre-touched), which made local[32] runs SLOWER than local[8]
+    # (175-592s vs 63s).  Pre-touching moves all heap faults to startup:
+    # local[32] flagship 592s -> 61s.  Standard large-heap JVM practice on
+    # real clusters too (set spark.executor.extraJavaOptions likewise).
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '24g')} -XX:+AlwaysPreTouch"),
+}
+
+#: glibc tuning for the Python workers (inherited via fork from the JVM's
+#: env): keep freed arenas mapped instead of mmap/munmap per Arrow batch —
+#: every munmap means fresh page faults on the next batch, hitting the same
+#: fault-storm pathology as the JVM heap.
+WORKER_MALLOC_ENV = {
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
 }
 
 
@@ -44,9 +64,13 @@ def get_spark(app_name: str = "featureextraction_jl_spark",
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    for k, v in WORKER_MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
+    for k, v in WORKER_MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
