@@ -214,6 +214,18 @@ def q09_cube(spark, sf):
     )
 
 
+def q08b_grouping_sets(spark, sf):
+    """D9 explicit GROUPING SETS (rollup/cube's third form)."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
 def q10_distinct(spark, sf):
     """D8 distinct / count-distinct."""
     li = _t(spark, sf, "lineitem")
@@ -423,6 +435,22 @@ def q26_asof_forward(spark, sf):
     return out.select("user_id", "event_id", "next_purchase")
 
 
+def q26b_asof_nearest(spark, sf):
+    """C2 nearest as-of: closer of last-before / first-after purchase.
+
+    Tie at equal distance goes to the backward match (pinned in asof.py and
+    mirrored by the oracle's <= comparison).
+    """
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"),
+        F.col("value").alias("nearest_purchase"))
+    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
+                    on="user_id", left_ts="ts", right_ts="pts",
+                    direction="nearest", right_order=["nearest_purchase"])
+    return out.select("user_id", "event_id", "nearest_purchase")
+
+
 def q25b_asof_tolerance(spark, sf):
     """C2 as-of with tolerance: purchase within the trailing 2 hours only."""
     e = _t(spark, sf, "events")
@@ -533,12 +561,46 @@ def q35_pca_project(spark, sf):
 
     Correctness of the math is pytest-gated against the NumPy oracle
     (tests/test_kernels.py); here the driver checks schema + row count.
+    Output is posexploded to scalar columns (vec_id, pos, pc_val) — the
+    driver's canonicalizer sorts on every column and cannot hash
+    array<double> (round-1 q35 crash).
     """
     e = _t(spark, sf, "embeddings")
     df = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     m = compute_moments(df, "v")
     model = fit_pca(m, k=8, mode="pca_whiten")
-    return df.select("vec_id", project_udf(model, "v").alias("pc"))
+    proj = df.select("vec_id", project_udf(model, "v").alias("pc"))
+    return proj.select(
+        "vec_id", F.posexplode("pc").alias("pos", "val")
+    ).select("vec_id", "pos", F.round("val", 6).alias("pc_val"))
+
+
+def q36_grouped_moments(spark, sf):
+    """A3 grouped moments + E1 skew salting at the driver surface.
+
+    ``salted_grouped_moments`` with a heavy-threshold low enough (5k rows)
+    that every l_returnflag group actually takes the salted two-stage path
+    at sf>=0.01 — so the driver's value check covers salting, not just the
+    pytest equivalence test.  The Chan merge is exact, so salted moments
+    match DuckDB's AVG/VAR_SAMP/COVAR_SAMP to well under the 6-dp rounding.
+    """
+    from featureextraction_jl_spark.plans.salting import salted_grouped_moments
+    li = _t(spark, sf, "lineitem")
+    vecs = li.select(
+        "l_returnflag",
+        F.array(F.col("l_quantity").cast("double"),
+                F.col("l_discount").cast("double")).alias("v"))
+    m = salted_grouped_moments(vecs, "l_returnflag", "v",
+                               heavy_threshold=5000, num_salts=8)
+    nm1 = (F.col("n") - 1).cast("double")
+    return m.select(
+        "l_returnflag", "n",
+        F.round(F.element_at("mean", 1), 6).alias("mean_qty"),
+        F.round(F.element_at("mean", 2), 6).alias("mean_disc"),
+        F.round(F.element_at("m2", 1) / nm1, 6).alias("var_qty"),
+        F.round(F.element_at("m2", 2) / nm1, 6).alias("cov_qd"),
+        F.round(F.element_at("m2", 4) / nm1, 6).alias("var_disc"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -603,9 +665,16 @@ def q40_langid(spark, sf):
 
 
 def q41_minhash_pairs(spark, sf):
-    """MinHash+LSH near-dup candidates (rows-only: hash family not in SQL)."""
+    """MinHash+LSH near-dup candidates — fully DuckDB-oracled.
+
+    ``portable=True``: md5-based 60-bit gram hashes and comma-joined band
+    keys, both reproducible in ANSI SQL; the Carter–Wegman coefficients are
+    inlined as literals in the oracle (built by :func:`_q41_oracle`).  The
+    production scale path keeps xxhash64 (portable=False).
+    """
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=5)
+    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=5,
+                             portable=True)
 
 
 def q42_simhash(spark, sf):
@@ -627,7 +696,14 @@ def q43_ngram_jaccard(spark, sf):
     set-similarity plan; the oracle rebuilds it with unnested substrings.
     """
     d = _t(spark, sf, "documents")
-    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    # Stop-gram pruning (the scale guard against quadratic hot-gram joins)
+    # at 97% document frequency — provably non-binding on this corpus
+    # (max observed DF is 96.2% at sf0.01, 95.8% at sf0.1; equality with the
+    # unpruned result is pinned in tests/test_dedup.py), so the unpruned
+    # DuckDB oracle still matches exactly.
+    max_df = int(0.97 * d.count())
+    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
+                              max_df=max_df)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -661,12 +737,29 @@ def q44_cosine_topk(spark, sf):
     )
 
 
+#: q45 parameters, shared between the Spark query and its oracle builder.
+#: threshold 0.3 yields ~1k true pairs on the driver's isotropic 64-dim
+#: embeddings (round-1 q45 used 0.5 => 0 rows, vacuous); 8 tables x 6
+#: planes gives 64 buckets/table (~n/64 per bucket) and meaningful recall.
+Q45 = dict(threshold=0.3, n_planes=6, n_tables=8, max_bucket=200, dim=64)
+
+
 def q45_ann_lsh(spark, sf):
-    """LSH-bucketed ANN variant (rows-only: random hyperplanes not in SQL)."""
+    """Multi-table hyperplane-LSH ANN — fully DuckDB-oracled.
+
+    The fixed seeded hyperplanes are inlined as literals in the oracle SQL
+    (:func:`_q45_oracle`), so bucket assignment, the bucket-width cap, the
+    candidate self-join, and the exact within-candidate cosines are all
+    value-checked, not just row-counted.  Recall vs the q44 brute force is
+    pinned separately in tests/test_dedup.py on planted near-dup clusters.
+    """
     from featureextraction_jl_spark.operators.dedup import embedding_near_dup_pairs
     e = _t(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(e, "embedding", "vec_id",
-                                    threshold=0.5, n_planes=4)
+    out = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=Q45["threshold"],
+        n_planes=Q45["n_planes"], n_tables=Q45["n_tables"],
+        max_bucket=Q45["max_bucket"])
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q46_doc_fingerprint(spark, sf):
@@ -694,6 +787,108 @@ def q46_doc_fingerprint(spark, sf):
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
+def _q41_oracle() -> str:
+    """DuckDB twin of the portable MinHash+LSH path, built programmatically.
+
+    Same gram space (distinct lowercase 5-grams, md5 60-bit hash), same
+    Carter–Wegman coefficients (inlined as literals from the shared seeded
+    generator), same comma-joined band keys — so the candidate pair set is
+    value-identical, not merely row-counted.
+    """
+    from featureextraction_jl_spark.operators.dedup import (
+        MINHASH_P, carter_wegman_coefs)
+
+    p = MINHASH_P
+    coefs = carter_wegman_coefs(32)
+    mins = ",\n                   ".join(
+        f"MIN(((h % {p}) * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(coefs))
+    r = 4  # 32 hashes / 8 bands
+    band_rows = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        + " AS band_hash FROM sig"
+        for b in range(8))
+    return f"""
+            WITH grams AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, GREATEST(length(text) - 4, 1) + 1),
+                                 i -> substr(lower(text), CAST(i AS INT), 5))) AS g
+                      FROM documents)
+            ),
+            sig AS (
+                SELECT doc_id,
+                   {mins}
+                FROM grams GROUP BY doc_id
+            ),
+            bands AS (
+                {band_rows}
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band, band_hash)
+            WHERE a.doc_id < b.doc_id
+        """
+
+
+def _q45_oracle() -> str:
+    """DuckDB twin of the hyperplane-LSH ANN path.
+
+    The seeded hyperplanes are inlined as DOUBLE literals (17 significant
+    digits — exact float64 round-trip), reproducing bucket assignment, the
+    bucket-width cap, candidate generation, and the exact cosine filter.
+    """
+    from featureextraction_jl_spark.operators.dedup import hyperplanes
+
+    t, m, dim = Q45["n_tables"], Q45["n_planes"], Q45["dim"]
+    planes = hyperplanes(t, m, dim)
+    bucket_exprs = []
+    for ti in range(t):
+        cases = []
+        for j in range(m):
+            lits = ",".join(f"{x:.17e}" for x in planes[ti, j])
+            dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                   f"i -> v[i] * ([{lits}])[i]))")
+            cases.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+        bucket_exprs.append("(" + " + ".join(cases) + f") AS b{ti}")
+    bucket_sel = ",\n                       ".join(bucket_exprs)
+    buck_rows = "\n                UNION ALL ".join(
+        f"SELECT vec_id, {ti} AS tbl, b{ti} AS bucket FROM t" for ti in range(t))
+    return f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            t AS (SELECT vec_id, v,
+                       {bucket_sel}
+                  FROM e),
+            buck AS (
+                {buck_rows}
+            ),
+            wide AS (SELECT tbl, bucket FROM buck GROUP BY tbl, bucket
+                     HAVING COUNT(*) > {Q45["max_bucket"]}),
+            ok AS (SELECT b.vec_id, b.tbl, b.bucket
+                   FROM buck b LEFT JOIN wide w
+                     ON b.tbl = w.tbl AND b.bucket = w.bucket
+                   WHERE w.tbl IS NULL),
+            cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM ok a JOIN ok b
+                       ON a.tbl = b.tbl AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id),
+            vec AS (SELECT vec_id, v,
+                           SQRT(list_sum(list_transform(v, x -> x * x))) AS nrm
+                    FROM e),
+            cos AS (SELECT id_a, id_b,
+                           list_sum(list_transform(range(1, {dim + 1}),
+                               i -> va.v[i] * vb.v[i])) / (va.nrm * vb.nrm) AS c
+                    FROM cand
+                    JOIN vec va ON va.vec_id = id_a
+                    JOIN vec vb ON vb.vec_id = id_b)
+            SELECT id_a, id_b, ROUND(c, 6) AS cosine
+            FROM cos WHERE c >= {Q45["threshold"]}
+        """
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_agg_pricing": q01_agg_pricing,
@@ -704,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_semi_anti": q06_semi_anti,
         "q07_range_join": q07_range_join,
         "q08_rollup": q08_rollup,
+        "q08b_grouping_sets": q08b_grouping_sets,
         "q09_cube": q09_cube,
         "q10_distinct": q10_distinct,
         "q10b_approx_distinct": q10b_approx_distinct,
@@ -724,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_asof_backward": q25_asof_backward,
         "q25b_asof_tolerance": q25b_asof_tolerance,
         "q26_asof_forward": q26_asof_forward,
+        "q26b_asof_nearest": q26b_asof_nearest,
         "q27_backfill": q27_backfill,
         "q28_dedup_latest": q28_dedup_latest,
         "q29_tumbling": q29_tumbling,
@@ -733,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_cov_corr": q33_cov_corr,
         "q34_dim_means": q34_dim_means,
         "q35_pca_project": q35_pca_project,
+        "q36_grouped_moments": q36_grouped_moments,
         "q37_exact_dedup": q37_exact_dedup,
         "q38_token_count": q38_token_count,
         "q39_quality_score": q39_quality_score,
@@ -810,6 +1008,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q08b_grouping_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "q09_cube": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -906,11 +1110,15 @@ def oracle_sql() -> dict[str, str]:
                    event_type IS NOT DISTINCT FROM 'purchase' AS is_purchase
             FROM events
         """,
+        # CAST .. AS BIGINT: DuckDB's windowed SUM(CASE..) is HUGEINT which
+        # fetchdf() renders as float64; Spark emits int64 — same values,
+        # different dtype, failing the driver's value hash (round-1 root cause).
         "q21_sessionize": """
             SELECT user_id, event_id,
-                   SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
             FROM (SELECT user_id, event_id, ts,
                          EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
                                                           ORDER BY ts, event_id) AS gap
@@ -964,6 +1172,23 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts <= p.ts
         """,
+        # nearest = closer of the backward / forward as-of matches; equal
+        # distance resolves to the backward match (<=), mirroring asof.py.
+        "q26b_asof_nearest": """
+            WITH p AS (SELECT user_id, ts, value AS pv FROM events
+                       WHERE event_type = 'purchase'),
+            b AS (SELECT e.user_id, e.event_id, e.ts, p.ts AS bts, p.pv AS bval
+                  FROM events e ASOF LEFT JOIN p
+                    ON e.user_id = p.user_id AND e.ts >= p.ts),
+            f AS (SELECT e.event_id, p.ts AS fts, p.pv AS fval
+                  FROM events e ASOF LEFT JOIN p
+                    ON e.user_id = p.user_id AND e.ts <= p.ts)
+            SELECT b.user_id, b.event_id,
+                   CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                             EPOCH(b.ts) - EPOCH(bts) <= EPOCH(fts) - EPOCH(b.ts))
+                        THEN bval ELSE fval END AS nearest_purchase
+            FROM b JOIN f ON b.event_id = f.event_id
+        """,
         "q27_backfill": """
             SELECT user_id, event_id,
                    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
@@ -989,10 +1214,10 @@ def oracle_sql() -> dict[str, str]:
         "q30_session_stats": """
             WITH sess AS (
               SELECT user_id, ts,
-                     SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                     CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                       AS BIGINT) AS session_id
               FROM (SELECT user_id, event_id, ts,
                            EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
                                                             ORDER BY ts, event_id) AS gap
@@ -1032,6 +1257,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY pos
         """,
+        "q36_grouped_moments": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(AVG(l_quantity), 6) AS mean_qty,
+                   ROUND(AVG(l_discount), 6) AS mean_disc,
+                   ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+                   ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qd,
+                   ROUND(VAR_SAMP(l_discount), 6) AS var_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q41_minhash_pairs": _q41_oracle(),
+        "q45_ann_lsh": _q45_oracle(),
         "q37_exact_dedup": """
             SELECT d.doc_id, d.n_chars
             FROM documents d JOIN (SELECT text, MIN(doc_id) AS doc_id

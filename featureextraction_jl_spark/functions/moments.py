@@ -137,14 +137,27 @@ def _arrow_partials(batches, col_idx: int = 0):
 
 def _arrow_partials_cols(batches):
     """mapInArrow worker over p scalar double columns — column_stack is
-    zero-copy per column (no per-row array objects anywhere)."""
+    zero-copy per column (no per-row array objects anywhere).
+
+    Null semantics mirror the array-column path (_batch_to_matrix): rows
+    containing any null are dropped before the moments are computed —
+    np.asarray alone would render Arrow nulls as NaN and silently poison
+    every moment (pinned in tests/test_kernels.py).
+    """
     import pyarrow as pa
 
     for b in batches:
         if b.num_rows == 0:
             continue
-        x = np.column_stack([np.asarray(b.column(i), dtype=np.float64)
-                             for i in range(b.num_columns)])
+        cols = [b.column(i) for i in range(b.num_columns)]
+        if any(c.null_count for c in cols):
+            keep = np.ones(b.num_rows, dtype=bool)
+            for c in cols:
+                keep &= np.asarray(c.is_valid())
+            cols = [c.filter(pa.array(keep)) for c in cols]
+            if len(cols[0]) == 0:
+                continue
+        x = np.column_stack([np.asarray(c, dtype=np.float64) for c in cols])
         m = batch_moments(x)
         yield pa.RecordBatch.from_pydict({
             "n": pa.array([m.n], pa.int64()),

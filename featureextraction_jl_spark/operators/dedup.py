@@ -9,6 +9,9 @@ higher-order functions) — Python only where NumPy is genuinely needed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,27 +72,48 @@ def portable_shingle_hashes(text_col: str, k: int = 5):
                        lambda i: portable_gram_hash(t.substr(i, F.lit(k))))
 
 
+#: Carter–Wegman prime (2^31 - 1); operands stay below 2^31 so the int64
+#: product a*x never overflows.
+MINHASH_P = 2147483647
+
+
+def carter_wegman_coefs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for h_i(x) = (a_i*x + b_i) mod p.
+
+    Shared by the Spark MinHash path and the DuckDB oracle SQL builder
+    (the coefficients are inlined as SQL literals there).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, MINHASH_P), rnd.randrange(0, MINHASH_P))
+            for _ in range(num_hashes)]
+
+
 def minhash_signature(df: DataFrame, text_col: str, id_col: str,
-                      num_hashes: int = 32, k: int = 5) -> DataFrame:
+                      num_hashes: int = 32, k: int = 5,
+                      portable: bool = False) -> DataFrame:
     """MinHash signatures: shingle -> num_hashes permutations -> min each.
 
     Carter–Wegman permutation family h_i(x) = (a_i*x + b_i) mod p with
     p = 2^31 - 1; operands reduced below 2^31 first so the int64 product
     never overflows.  Seeds fixed => deterministic signatures.
     All array higher-order functions — no Python worker.
-    """
-    p = 2147483647  # 2^31 - 1, Mersenne prime
-    import random
 
-    rnd = random.Random(42)
-    coefs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    ``portable=True`` swaps xxhash64 gram hashing for the md5-based 60-bit
+    hash so any ANSI engine reproduces the signature (DuckDB oracle); the
+    scale path stays on xxhash64.
+    """
+    p = MINHASH_P
+    coefs = carter_wegman_coefs(num_hashes)
 
     # Explode shingles once, then 32 partial+final min-aggregates over the
     # hashed long column — the shingle hash is computed exactly once per
     # gram (array-lambda variants re-evaluate the whole shingle array per
     # permutation after Catalyst's project collapse: 32x the work).
+    mk = portable_shingle_hashes if portable else shingle_hashes
     grams = df.select(
-        id_col, F.explode(F.array_distinct(shingle_hashes(text_col, k))).alias("__h"))
+        id_col, F.explode(F.array_distinct(mk(text_col, k))).alias("__h"))
     hh = F.abs(F.col("__h")) % F.lit(p)
     aggs = [
         F.min((hh * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"mh_{i}")
@@ -102,7 +126,8 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
-                      bands: int = 8, k: int = 5) -> DataFrame:
+                      bands: int = 8, k: int = 5,
+                      portable: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     signature -> ``bands`` bands of r = num_hashes/bands rows; documents
@@ -110,17 +135,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     (band_idx, band_hash) — the scale path: no O(n^2), shuffle keys are
     (band, hash) with naturally bounded bucket sizes.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``portable=True``: gram hashes via md5 and the band key as the
+    comma-joined signature slice (a string) instead of xxhash64 — both
+    reproducible in DuckDB, making the full candidate set oracle-checkable.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signature(df, text_col, id_col, num_hashes, k, portable)
+    if portable:
+        band_key = lambda b: F.concat_ws(
+            ",", F.slice("signature", b * r + 1, r).cast("array<string>"))
+    else:
+        band_key = lambda b: F.xxhash64(F.slice("signature", b * r + 1, r).cast("string"))
     banded = sig.select(
         id_col,
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice("signature", b * r + 1, r).cast("string")),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "band_hash"),
     )
     a = banded.alias("a")
@@ -135,17 +166,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one n-gram.
 
     Inverted-index join on n-gram hash (|intersection| via groupBy count),
     set sizes joined in, Jaccard = inter / (|A| + |B| - inter).  Shuffles
     (ngram_hash, id) — the standard scalable set-similarity plan.
+
+    ``max_df``: stop-gram pruning, the guard against the quadratic hot-key
+    blowup at scale — a gram shared by m documents emits m^2 join rows, and
+    ubiquitous grams ("the") appear in nearly every document.  Grams with
+    document frequency > max_df are dropped from BOTH the inverted index and
+    the set sizes (Jaccard is then exact over the pruned gram space).  The
+    frequent-gram set is tiny by construction (heavy hitters only), so the
+    exclusion is a broadcast anti-join — no extra full shuffle.
     """
     grams = df.select(
         id_col,
         F.explode(F.array_distinct(shingle_hashes(text_col, n))).alias("g"),
     )
+    if max_df is not None:
+        frequent = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") > max_df).select("g"))
+        grams = grams.join(F.broadcast(frequent), on="g", how="left_anti")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
@@ -173,62 +217,114 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash so the
     result is reproducible in any SQL engine (DuckDB oracle-checkable).
     """
+    # One pass over the grams: explode distinct gram hashes once, then the
+    # per-bit votes are ``bits`` conditional SUM aggregates in a single
+    # groupBy (partial+final, map-side combined).  The previous form ran
+    # F.aggregate over the gram array once per bit — ``bits`` full passes
+    # per row, the same expression-tree blowup class measured at 32x cost
+    # in MinHash (round-1 verdict item).  Integer votes => the exploded
+    # sum is exactly equal to the old array-fold sum.
     mk = portable_shingle_hashes if portable else shingle_hashes
-    grams = F.array_distinct(mk(text_col, n))
-
-    def vote(b: int):
-        def step(acc, h):
-            sign = F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                          F.lit(1)).otherwise(F.lit(-1))
-            return acc + sign
-        return F.aggregate(grams, F.lit(0).cast("long"), step)
+    grams = df.select(id_col,
+                      F.explode(F.array_distinct(mk(text_col, n))).alias("__h"))
+    aggs = []
+    for b in range(bits):
+        bit = F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+                    .alias(f"__v{b}"))
+    votes = grams.groupBy(id_col).agg(*aggs)
 
     # Distinct powers of two never carry, so summing set bits is exact
     # (bit 63 lands on Long.MIN via shiftleft, still no overflow).
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp + F.when(vote(b) > 0,
+        fp = fp + F.when(F.col(f"__v{b}") > 0,
                          F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return df.select(id_col, fp.alias("simhash"))
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 7):
+    """Fixed random hyperplanes, shape (n_tables, n_planes, dim).
+
+    Deterministic (seeded) so the Spark operator and the DuckDB oracle SQL
+    builder (plane coefficients inlined as literals) see identical planes.
+    """
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_tables, n_planes, dim))
 
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              threshold: float = 0.95,
-                             n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+                             n_planes: int = 8, n_tables: int = 8,
+                             max_bucket: int | None = None,
+                             seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
 
-    Bucket = sign pattern under ``n_planes`` fixed random hyperplanes; exact
-    cosine computed only within buckets (JVM zip_with/aggregate dot product).
-    Scale path: candidate generation is an equi-join on the bucket key.
+    ``n_tables`` independent hash tables of ``n_planes`` hyperplanes each;
+    a pair is a candidate iff it collides in ANY table (recall
+    1-(1-p^n_planes)^n_tables for bit-agree prob p = 1 - theta/pi — recall
+    pinned by tests/test_dedup.py against planted near-dup clusters).  At
+    scale, size n_planes ~ log2(n/target_bucket) so buckets stay bounded,
+    and raise n_tables for recall.
+
+    Plan shape (the 100 TB path):
+    * all n_tables*n_planes dot products in ONE Arrow-batched GEMM per batch
+      (pandas UDF), not n*t separate array folds;
+    * candidate generation = equi self-join on (table, bucket) emitting ONLY
+      id pairs, dedup-ed BEFORE vectors are touched;
+    * ``max_bucket`` drops degenerate buckets (e.g. all-zeros embeddings)
+      above that width — the cap that keeps the within-bucket join from
+      going quadratic on pathological data;
+    * exact cosine only for distinct candidate pairs, vectors re-joined by
+      id (broadcast-able when candidates are few).
     """
-    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
 
-    rng = np.random.default_rng(7)
     first = df.select(vec_col).first()
     dim = len(first[vec_col])
-    planes = rng.normal(size=(n_planes, dim))
+    planes = hyperplanes(n_tables, n_planes, dim, seed)
+    pmat = planes.reshape(n_tables * n_planes, dim)  # (t*m, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    def dot_with(plane):
-        arr = F.array(*[F.lit(float(v)) for v in plane])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), arr, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, v: acc + v)
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(s: pd.Series) -> pd.Series:
+        x = np.stack(s.to_numpy()).astype(np.float64)          # (b, dim)
+        signs = (x @ pmat.T) >= 0.0                            # (b, t*m) one GEMM
+        b = signs.reshape(len(x), n_tables, n_planes) @ weights  # (b, t)
+        return pd.Series(list(b.astype(np.int64)))
 
-    bucket = F.concat_ws("", *[F.when(dot_with(p) >= 0, "1").otherwise("0") for p in planes])
-    tagged = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"),
-                       bucket.alias("__bucket"))
-    norm = F.sqrt(F.aggregate(F.transform("__v", lambda x: x * x), F.lit(0.0),
-                              lambda a, v: a + v))
-    tagged = tagged.withColumn("__n", norm)
+    v = F.col(vec_col).cast("array<double>")
+    tagged = df.select(
+        F.col(id_col),
+        F.posexplode(_buckets(v)).alias("tbl", "bucket"),
+    )
+    if max_bucket is not None:
+        wide = (tagged.groupBy("tbl", "bucket")
+                .agg(F.count(F.lit(1)).alias("__w"))
+                .filter(F.col("__w") > max_bucket)
+                .select("tbl", "bucket"))
+        tagged = tagged.join(F.broadcast(wide), on=["tbl", "bucket"], how="left_anti")
     a, b = tagged.alias("a"), tagged.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    return (
-        a.join(b, on="__bucket")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("cosine", dot / (F.col("a.__n") * F.col("b.__n")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    norm = F.sqrt(F.aggregate(F.transform("__v", lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+    vecs = df.select(F.col(id_col).alias("__id"), v.alias("__v")).withColumn("__n", norm)
+    va = vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                     F.col("__n").alias("__na"))
+    vb = vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                     F.col("__n").alias("__nb"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

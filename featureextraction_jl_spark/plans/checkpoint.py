@@ -74,6 +74,16 @@ def input_fingerprint(*paths: str) -> str:
         if root is None:
             h.update(b"<none>")
             continue
+        if not os.path.isdir(root):
+            # os.walk on a missing/remote path yields NOTHING, which would
+            # silently fingerprint every such input identically — and on
+            # resume with different data the model/units would be wrongly
+            # reused.  Remote inputs (s3://, hdfs://, Iceberg tables) need a
+            # snapshot-id based fingerprint instead of a file listing.
+            raise FileNotFoundError(
+                f"input_fingerprint: {root!r} is not a local directory; "
+                "for remote/Iceberg inputs pass a snapshot-id fingerprint "
+                "(see module docstring) instead of a path listing")
         for dirpath, dirnames, filenames in sorted(os.walk(root)):
             dirnames.sort()
             for name in sorted(filenames):
@@ -220,8 +230,15 @@ def run_features_resumable(
         units_done.append(unit)
 
     # ---- job summary -----------------------------------------------------
-    unit_mans = [_read_json(os.path.join(mdir, f"unit_{u}.json"))
-                 for u in range(n_units)]
+    unit_mans = []
+    for u in range(n_units):
+        man = _read_json(os.path.join(mdir, f"unit_{u}.json"))
+        if man is None:
+            # a manifest written above vanished/corrupted before aggregation
+            raise RuntimeError(
+                f"unit manifest missing or unreadable at summary time: "
+                f"{os.path.join(mdir, f'unit_{u}.json')}")
+        unit_mans.append(man)
     job = {
         "input_fingerprint": fp,
         "config_hash": chash,

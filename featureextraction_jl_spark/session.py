@@ -11,6 +11,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_memory() -> str:
+    """min(24g, ~40% of MemTotal) — AlwaysPreTouch commits Xms at startup,
+    so an unconditional 24g would fail the JVM launch on smaller hosts."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, int(total_gb * 0.4)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 #: Confs that matter for correctness or scale; applied at build time.
 ENGINE_CONFS: dict[str, str] = {
     # Arrow batch transfer for every pandas/Arrow UDF (default-on in 4.x,
@@ -28,7 +46,7 @@ ENGINE_CONFS: dict[str, str] = {
     # Keep executor-side Python workers reusable (Arrow socket reuse).
     "spark.python.worker.reuse": "true",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+    "spark.driver.memory": _default_driver_memory(),
     # Pre-fault the whole heap at JVM start (Xms=Xmx + AlwaysPreTouch).
     # Measured on this host: concurrent first-touch page faults collapse
     # ~50x under parallelism (memcpy microbench: 9.3 GB/s at 1 proc ->
@@ -39,7 +57,7 @@ ENGINE_CONFS: dict[str, str] = {
     # real clusters too (set spark.executor.extraJavaOptions likewise).
     "spark.driver.extraJavaOptions": os.environ.get(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-        f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '24g')} -XX:+AlwaysPreTouch"),
+        f"-Xms{_default_driver_memory()} -XX:+AlwaysPreTouch"),
 }
 
 #: glibc tuning for the Python workers (inherited via fork from the JVM's

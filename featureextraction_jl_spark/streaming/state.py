@@ -27,7 +27,6 @@ from featureextraction_jl_spark.functions.moments import (
     merge_moments,
 )
 
-_OUT_SCHEMA = "key string, n long, mean array<double>, m2 array<double>"
 _STATE_SCHEMA = "n long, mean array<double>, m2 array<double>"
 
 
@@ -40,6 +39,10 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFram
     refreshed whitening models at 10^12-turn scale without re-scanning
     history.
     """
+    # Output key field keeps the incoming key column's type (a hardcoded
+    # "key string" would schema-mismatch at runtime for non-string keys).
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"key {key_type}, n long, mean array<double>, m2 array<double>"
 
     def update(key: Tuple[Any, ...],
                pdfs: Iterator[pd.DataFrame],
@@ -64,6 +67,6 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFram
     return (
         stream.select(key_col, vec_col)
         .groupBy(key_col)
-        .applyInPandasWithState(update, _OUT_SCHEMA, _STATE_SCHEMA,
+        .applyInPandasWithState(update, out_schema, _STATE_SCHEMA,
                                 "update", GroupStateTimeout.NoTimeout)
     )

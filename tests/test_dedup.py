@@ -1,0 +1,196 @@
+"""Dedup / similarity operator invariants (SURVEY.md §2 group F).
+
+Pins the round-2 scale-guard semantics:
+
+* stop-gram pruning is a no-op when max_df doesn't bind, and strictly
+  shrinks the inverted-index join when it does;
+* hyperplane-LSH ANN has high recall on genuinely-near pairs (planted
+  clusters, cosine >= 0.9) vs the brute-force truth;
+* one-pass exploded SimHash equals an independent per-row NumPy oracle;
+* portable MinHash signatures are deterministic and banding is sound
+  (identical docs always collide; signature agreement tracks Jaccard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Stop-gram pruning
+# ---------------------------------------------------------------------------
+
+def test_jaccard_pruning_noop_when_not_binding(spark, sf01_dir):
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    n_docs = d.count()
+    max_df = int(0.97 * n_docs)
+    # the q43 premise: 97% DF is above every gram's DF on this corpus
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+            " i -> substring(lower(text), i, 3))"))).alias("g"))
+    top_df = grams.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+    assert top_df <= max_df, "corpus changed: q43's max_df choice now binds"
+
+    base = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).collect()
+    pruned = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
+                                 max_df=max_df).collect()
+    key = lambda rows: {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                        for r in rows}
+    assert key(base) == key(pruned)
+
+
+def test_jaccard_pruning_binds_on_hot_grams(spark):
+    # "xx" appears in every doc (the hot gram); unique tails differentiate.
+    rows = [(i, "xx" + format(i, "04d")) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    unpruned = ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01)
+    pruned = ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01,
+                                 max_df=5)
+    # every doc shares gram "xx" -> all 190 pairs as candidates unpruned;
+    # pruning the universal gram removes those join rows entirely
+    assert len(_pairs(unpruned)) == 190
+    assert len(_pairs(pruned)) < 190
+
+
+# ---------------------------------------------------------------------------
+# ANN recall vs brute force on planted near-dup clusters
+# ---------------------------------------------------------------------------
+
+def test_ann_lsh_recall_on_planted_clusters(spark):
+    rng = np.random.default_rng(123)
+    dim, n_clusters, per_cluster, n_noise = 32, 12, 3, 200
+    vecs, vid = [], 0
+    for _ in range(n_clusters):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rng.normal(scale=0.03, size=dim)  # cosine ~0.99
+            vecs.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_noise):
+        vecs.append((vid, [float(x) for x in rng.normal(size=dim)]))
+        vid += 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    got = embedding_near_dup_pairs(df, "embedding", "vec_id", threshold=0.9,
+                                   n_planes=6, n_tables=8)
+    found = _pairs(got)
+
+    # brute-force truth
+    X = np.stack([np.asarray(v) for _, v in vecs])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    truth = {(i, j) for i in range(len(vecs)) for j in range(i + 1, len(vecs))
+             if S[i, j] >= 0.9}
+    # most planted within-cluster pairs clear 0.9 (noise can push a few under)
+    assert len(truth) >= 30
+    recall = len(found & truth) / len(truth)
+    # theory: bit-agree p ~ 0.986 at cos 0.999 => per-table ~0.92,
+    # 8 tables => ~1 - 1e-9; assert a conservative floor
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95"
+    # and everything emitted really is above the threshold
+    for r in got.collect():
+        assert r["cosine"] >= 0.9
+
+
+def test_ann_bucket_cap_drops_degenerate_buckets(spark):
+    rng = np.random.default_rng(5)
+    # 50 near-identical vectors -> one mega-bucket in every table
+    base = rng.normal(size=16)
+    rows = [(i, [float(x) for x in base + rng.normal(scale=1e-3, size=16)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = embedding_near_dup_pairs(df, "embedding", "vec_id",
+                                        threshold=0.5, n_planes=4, n_tables=2)
+    capped = embedding_near_dup_pairs(df, "embedding", "vec_id",
+                                      threshold=0.5, n_planes=4, n_tables=2,
+                                      max_bucket=10)
+    assert len(_pairs(uncapped)) == 50 * 49 // 2
+    assert len(_pairs(capped)) == 0  # every bucket wider than the cap
+
+
+# ---------------------------------------------------------------------------
+# SimHash: one-pass exploded plan equals an independent NumPy oracle
+# ---------------------------------------------------------------------------
+
+def test_simhash_matches_numpy_oracle(spark):
+    import hashlib
+
+    texts = ["the quick brown fox", "the quick brown fix",
+             "completely different words here", "ab", ""]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(d, "text", "doc_id", bits=16, n=3,
+                            portable=True).collect()}
+
+    def oracle(text: str, bits: int = 16, n: int = 3) -> int:
+        t = text.lower()
+        upper = max(len(t) - (n - 1), 1)
+        grams = list(dict.fromkeys(t[i:i + n] for i in range(upper)))
+        hashes = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                  for g in grams]
+        fp = 0
+        for b in range(bits):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+            if vote > 0:
+                fp |= 1 << b
+        return fp
+
+    for i, t in enumerate(texts):
+        assert got[i] == oracle(t), f"doc {i} ({t!r})"
+
+
+def test_simhash_near_texts_have_close_fingerprints(spark):
+    d = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat"),
+         (2, "zzz completely unrelated corpus entry qqq")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"]
+          for r in simhash(d, "text", "doc_id", bits=64).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])
+    assert ham(fp[0], fp[1]) < ham(fp[1], fp[2])
+
+
+# ---------------------------------------------------------------------------
+# MinHash determinism + banding soundness
+# ---------------------------------------------------------------------------
+
+def test_minhash_identical_docs_always_collide(spark):
+    d = spark.createDataFrame(
+        [(0, "shared near duplicate document body"),
+         (1, "shared near duplicate document body"),
+         (2, "some altogether different text payload")],
+        "doc_id long, text string")
+    for portable in (False, True):
+        pairs = _pairs(minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16,
+                                         bands=4, k=4, portable=portable))
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_signature_deterministic(spark):
+    d = spark.createDataFrame([(0, "alpha beta gamma delta")],
+                              "doc_id long, text string")
+    s1 = minhash_signature(d, "text", "doc_id", 8, 4, portable=True).collect()
+    s2 = minhash_signature(d, "text", "doc_id", 8, 4, portable=True).collect()
+    assert s1[0]["signature"] == s2[0]["signature"]
+    assert len(s1[0]["signature"]) == 8

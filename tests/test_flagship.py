@@ -98,3 +98,38 @@ def test_salting_equivalence(spark, data):
                                    rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(plain[k]["m2"], salted[k]["m2"],
                                    rtol=1e-8, atol=1e-8)
+
+
+def test_flagship_plan_invariants(spark, data):
+    """SURVEY.md §4 plan promises, pinned so refactors can't regress them.
+
+    * at most 3 Exchanges in the projection-pass plan (the as-of union
+      window's hash(conv_id) exchange is the only FULL-data one; anything
+      extra would re-shuffle 10^12 turns at scale);
+    * no BatchEvalPython (row-at-a-time Python) anywhere — the only Python
+      is the Arrow-batched projection (ArrowEvalPython);
+    * the windows after the as-of reuse its clustering: every Sort beyond
+      the exchange is sort-only (no hashpartitioning re-introduction).
+    """
+    t, s = data
+    out, _model = run_features(t, s, CFG)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 3, f"plan has {n_exchanges} Exchanges:\n{plan[:4000]}"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
+    assert "ArrowEvalPython" in plan, "projection should be Arrow-batched"
+
+
+def test_scan_pushdown_and_pruning(spark, sf01_dir):
+    """Filters and projection reach the parquet scan (SURVEY.md §4)."""
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    q = (li.filter(F.col("l_quantity") < 10)
+         .select("l_orderkey", "l_quantity"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan, plan[:2000]
+    # column pruning: the scan schema carries only the 2 referenced columns
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols

@@ -202,3 +202,26 @@ def test_zscore_vec_udf(spark):
     df = vec_df(spark, X)
     z = np.stack([r["z"] for r in df.select(zscore_vec_udf(m, "vec").alias("z")).collect()])
     close(np.sort(z, axis=0), np.sort(oracle.zscore(X), axis=0))
+
+
+def test_moments_list_of_columns_path(spark):
+    """compute_moments over p scalar double columns equals the array path."""
+    pdf = pd.DataFrame({f"c{i}": X[:, i] for i in range(X.shape[1])})
+    df = spark.createDataFrame(pdf).repartition(5)
+    m = compute_moments(df, [f"c{i}" for i in range(X.shape[1])])
+    assert m.n == 400
+    close(m.mean, oracle.mean(X))
+    close(m.cov, oracle.cov(X))
+
+
+def test_moments_list_of_columns_drops_null_rows(spark):
+    """Null rows are DROPPED (same as the array-column path), not NaN-poisoned."""
+    pdf = pd.DataFrame({f"c{i}": X[:, i] for i in range(X.shape[1])})
+    pdf.loc[3, "c0"] = None
+    pdf.loc[17, "c2"] = None
+    df = spark.createDataFrame(pdf).repartition(5)
+    m = compute_moments(df, [f"c{i}" for i in range(X.shape[1])])
+    kept = np.delete(X, [3, 17], axis=0)
+    assert m.n == 398
+    close(m.mean, oracle.mean(kept))
+    close(m.cov, oracle.cov(kept))
