@@ -718,6 +718,29 @@ def q47_media_meta(spark, sf):
     return extract_media_meta(attach_media(d, "doc_id", "text"))
 
 
+def q48_dedup_clusters(spark, sf):
+    """Near-dup clustering: connected components over MinHash-LSH pairs.
+
+    Iterative min-label propagation (operators/dedup.py); the oracle
+    computes the same components with a recursive transitive closure over
+    the identical portable candidate-pair SQL.
+    """
+    from featureextraction_jl_spark.operators.dedup import connected_components
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8,
+                              k=5, portable=True)
+    return connected_components(pairs, d.select("doc_id"), "doc_id")
+
+
+def q49_near_dedup_survivors(spark, sf):
+    """Corpus after near-dedup: min-id survivor per near-dup component."""
+    from featureextraction_jl_spark.operators.dedup import near_dedup_survivors
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8,
+                              k=5, portable=True)
+    return near_dedup_survivors(d, pairs, "doc_id").select("doc_id", "n_chars")
+
+
 def q44_cosine_topk(spark, sf):
     """Brute-force cosine top-k similarity search (baseline ANN path)."""
     e = _t(spark, sf, "embeddings")
@@ -787,14 +810,10 @@ def q46_doc_fingerprint(spark, sf):
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
-def _q41_oracle() -> str:
-    """DuckDB twin of the portable MinHash+LSH path, built programmatically.
-
-    Same gram space (distinct lowercase 5-grams, md5 60-bit hash), same
-    Carter–Wegman coefficients (inlined as literals from the shared seeded
-    generator), same comma-joined band keys — so the candidate pair set is
-    value-identical, not merely row-counted.
-    """
+def _minhash_pairs_cte() -> str:
+    """The shared CTE chain reproducing the portable MinHash+LSH candidate
+    pairs in DuckDB (gram md5 hashes, Carter–Wegman literals, band keys);
+    ends with a ``pairs(id_a, id_b)`` CTE for q41/q48/q49 to build on."""
     from featureextraction_jl_spark.operators.dedup import (
         MINHASH_P, carter_wegman_coefs)
 
@@ -809,8 +828,7 @@ def _q41_oracle() -> str:
         + " || ',' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         + " AS band_hash FROM sig"
         for b in range(8))
-    return f"""
-            WITH grams AS (
+    return f"""grams AS (
                 SELECT DISTINCT doc_id,
                        ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
                 FROM (SELECT doc_id,
@@ -826,10 +844,62 @@ def _q41_oracle() -> str:
             ),
             bands AS (
                 {band_rows}
-            )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b USING (band, band_hash)
-            WHERE a.doc_id < b.doc_id
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b USING (band, band_hash)
+                WHERE a.doc_id < b.doc_id
+            )"""
+
+
+def _q41_oracle() -> str:
+    """DuckDB twin of the portable MinHash+LSH path, built programmatically.
+
+    Same gram space (distinct lowercase 5-grams, md5 60-bit hash), same
+    Carter–Wegman coefficients (inlined as literals from the shared seeded
+    generator), same comma-joined band keys — so the candidate pair set is
+    value-identical, not merely row-counted.
+    """
+    return f"""
+            WITH {_minhash_pairs_cte()}
+            SELECT id_a, id_b FROM pairs
+        """
+
+
+#: the recursive transitive-closure min-label (fine at oracle scale; the
+#: Spark side uses iterative min-label propagation instead)
+_CC_CTE = """
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            clusters AS (
+                SELECT d.doc_id,
+                       CAST(LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id))
+                            AS BIGINT) AS cluster_id
+                FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+                GROUP BY d.doc_id
+            )"""
+
+
+def _q48_oracle() -> str:
+    return f"""
+            WITH RECURSIVE {_minhash_pairs_cte()},{_CC_CTE}
+            SELECT doc_id, cluster_id FROM clusters
+        """
+
+
+def _q49_oracle() -> str:
+    return f"""
+            WITH RECURSIVE {_minhash_pairs_cte()},{_CC_CTE}
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN clusters c
+              ON d.doc_id = c.doc_id AND d.doc_id = c.cluster_id
         """
 
 
@@ -942,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_ann_lsh": q45_ann_lsh,
         "q46_doc_fingerprint": q46_doc_fingerprint,
         "q47_media_meta": q47_media_meta,
+        "q48_dedup_clusters": q48_dedup_clusters,
+        "q49_near_dedup_survivors": q49_near_dedup_survivors,
     }
 
 
@@ -1268,6 +1340,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q41_minhash_pairs": _q41_oracle(),
         "q45_ann_lsh": _q45_oracle(),
+        "q48_dedup_clusters": _q48_oracle(),
+        "q49_near_dedup_survivors": _q49_oracle(),
         "q37_exact_dedup": """
             SELECT d.doc_id, d.n_chars
             FROM documents d JOIN (SELECT text, MIN(doc_id) AS doc_id

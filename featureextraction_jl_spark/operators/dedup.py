@@ -222,8 +222,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # groupBy (partial+final, map-side combined).  The previous form ran
     # F.aggregate over the gram array once per bit — ``bits`` full passes
     # per row, the same expression-tree blowup class measured at 32x cost
-    # in MinHash (round-1 verdict item).  Integer votes => the exploded
-    # sum is exactly equal to the old array-fold sum.
+    # in MinHash.  Measured at bits=64 on sf0.1 (5000 docs, local[8]):
+    # 12.4s one-pass vs 275.9s array-fold — 22x.  Integer votes => the
+    # exploded sum is exactly equal to the old array-fold sum.
     mk = portable_shingle_hashes if portable else shingle_hashes
     grams = df.select(id_col,
                       F.explode(F.array_distinct(mk(text_col, n))).alias("__h"))
@@ -241,6 +242,63 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         fp = fp + F.when(F.col(f"__v{b}") > 0,
                          F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
     return votes.select(id_col, fp.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame,
+                         id_col: str = "doc_id",
+                         left: str = "id_a", right: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Near-dup clusters: connected components by iterative min-label
+    propagation over candidate pairs (the step that turns pairwise near-dup
+    hits into dedup groups).
+
+    cluster_id = the minimum member id of each component; isolated ids
+    cluster with themselves.  Each round is (a) one neighbor-propagation
+    min-aggregate and (b) one pointer-doubling shortcut
+    ``label(u) := label(label(u))`` — the shortcut halves path lengths every
+    round, so convergence is O(log diameter) rounds, not O(diameter)
+    (a plain-propagation variant failed to converge in 20 rounds on a real
+    235-doc band-collision component whose bucket-overlap graph is
+    chain-like).  Every round the frame is ``localCheckpoint``-ed to
+    truncate the iterative lineage (on a real cluster use a checkpoint
+    dir — executor loss invalidates localCheckpoint blocks).  A driver-side
+    O(1) decimal-sum convergence test stops early: labels only ever
+    decrease, so an unchanged sum <=> fixed point.
+    """
+    edges = pairs.select(F.col(left).alias("u"), F.col(right).alias("v")).union(
+        pairs.select(F.col(right).alias("u"), F.col(left).alias("v")))
+    labels = ids.select(F.col(id_col).alias("u"),
+                        F.col(id_col).alias("label")).distinct()
+    labels = labels.localCheckpoint(eager=False)
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = edges.join(labels, on="u").select(F.col("v").alias("u"), "label")
+        labels = (labels.union(msgs).groupBy("u")
+                  .agg(F.min("label").alias("label")))
+        # pointer doubling: every label value is itself a node id, so
+        # resolving one hop through the mapping halves chain lengths
+        lmap = labels.select(F.col("u").alias("__lu"),
+                             F.col("label").alias("__ll"))
+        labels = (labels.join(lmap, labels["label"] == lmap["__lu"], "left")
+                  .select(F.col("u"),
+                          F.coalesce("__ll", "label").alias("label"))
+                  .localCheckpoint(eager=True))
+        cur = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("u").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
+def near_dedup_survivors(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus after near-dedup: keep one row (the min-id member) per
+    connected component of the candidate-pair graph."""
+    cc = connected_components(pairs, df.select(id_col), id_col)
+    keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 def hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 7):

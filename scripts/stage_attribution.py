@@ -42,6 +42,8 @@ from featureextraction_jl_spark.plans import FeatureJobConfig, run_features
 cpus = int(os.environ["ATTR_CPUS"])
 spark = get_spark("stage-attr", master=f"local[{{cpus}}]", extra_confs={{
     "spark.eventLog.enabled": "true",
+    "spark.eventLog.compress": "false",
+    "spark.eventLog.rolling.enabled": "false",
     "spark.eventLog.dir": os.environ["ATTR_EVDIR"],
     "spark.sql.shuffle.partitions": str(max(cpus * 4, 16)),
 }})
@@ -72,7 +74,13 @@ def run_level(cpus: int, tdir: str, sdir: str) -> tuple[dict, list[dict]]:
 
 
 def parse_event_log(evdir: str) -> list[dict]:
-    paths = glob.glob(os.path.join(evdir, "*"))
+    # Spark 4 rolling event logs: evdir/eventlog_v2_<app>/events_* files
+    paths = []
+    for p in glob.glob(os.path.join(evdir, "*")):
+        if os.path.isdir(p):
+            paths.extend(sorted(glob.glob(os.path.join(p, "events_*"))))
+        else:
+            paths.append(p)
     stages: dict[int, dict] = {}
     for path in paths:
         with open(path) as f:

@@ -194,3 +194,26 @@ def test_minhash_signature_deterministic(spark):
     s2 = minhash_signature(d, "text", "doc_id", 8, 4, portable=True).collect()
     assert s1[0]["signature"] == s2[0]["signature"]
     assert len(s1[0]["signature"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# Connected components / near-dedup survivors
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_isolated(spark):
+    from featureextraction_jl_spark.operators.dedup import (
+        connected_components, near_dedup_survivors)
+
+    # chain 0-1-2-3 (diameter 3 => needs >1 propagation round), pair 10-11,
+    # isolated 20
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 20]],
+                                "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, ids, "doc_id").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+
+    docs = ids.withColumn("text", F.concat(F.lit("doc"), "doc_id"))
+    surv = {r["doc_id"] for r in near_dedup_survivors(docs, pairs).collect()}
+    assert surv == {0, 10, 20}
