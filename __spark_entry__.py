@@ -346,6 +346,23 @@ def q18_array_fns(spark, sf):
     )
 
 
+def q18b_map_struct(spark, sf):
+    """D18 map/struct functions as scalar-output columns."""
+    e = _t(spark, sf, "events")
+    m = F.create_map(F.lit("type"), F.col("event_type"),
+                     F.lit("uid"), F.col("user_id").cast("string"))
+    s = F.struct(F.col("user_id").alias("uid"), F.col("value").alias("val"))
+    return e.select(
+        "event_id",
+        m.getItem("type").alias("type_from_map"),
+        m.getItem("uid").alias("uid_from_map"),
+        F.size(m).alias("map_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        s.getField("uid").alias("uid_from_struct"),
+        s.getField("val").alias("val_from_struct"),
+    )
+
+
 def q19_json_fns(spark, sf):
     """D19 JSON functions over events.props."""
     e = _t(spark, sf, "events")
@@ -981,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_datetime_fns": q16_datetime_fns,
         "q17_math_fns": q17_math_fns,
         "q18_array_fns": q18_array_fns,
+        "q18b_map_struct": q18b_map_struct,
         "q19_json_fns": q19_json_fns,
         "q20_case_nullsafe": q20_case_nullsafe,
         "q21_sessionize": q21_sessionize,
@@ -1167,6 +1185,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_sum(list_transform(embedding[1:8],
                          x -> CAST(x AS DOUBLE))), 6) AS head_sum
             FROM embeddings
+        """,
+        "q18b_map_struct": """
+            SELECT event_id,
+                   MAP(['type','uid'],
+                       [event_type, CAST(user_id AS VARCHAR)])['type'][1]
+                       AS type_from_map,
+                   MAP(['type','uid'],
+                       [event_type, CAST(user_id AS VARCHAR)])['uid'][1]
+                       AS uid_from_map,
+                   CAST(cardinality(MAP(['type','uid'],
+                       [event_type, CAST(user_id AS VARCHAR)])) AS INT)
+                       AS map_size,
+                   'type,uid' AS keys_joined,
+                   ({'uid': user_id, 'val': value}).uid AS uid_from_struct,
+                   ({'uid': user_id, 'val': value}).val AS val_from_struct
+            FROM events
         """,
         "q19_json_fns": """
             SELECT event_id,

@@ -218,3 +218,61 @@ def test_latest_row(spark, transcripts):
                                  on=["conv_id", "turn_idx"])
     assert joined.filter(
         F.col("g.ts") != F.col("t.ts") + F.expr("INTERVAL 1 SECOND")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based as-of gate (hypothesis): random key/ts layouts incl. ties,
+# empty right sides, and single-row groups must match pandas merge_asof.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+
+
+@st.composite
+def asof_case(draw):
+    n_keys = draw(st.integers(1, 4))
+    left, right = [], []
+    for k in range(n_keys):
+        lts = draw(st.lists(st.integers(0, 50), min_size=1, max_size=12))
+        rts = draw(st.lists(st.integers(0, 50), min_size=0, max_size=8,
+                            unique=True))  # unique right ts: ties are
+        # tie-BREAK-order dependent and pinned by a separate directed test
+        left += [(f"k{k}", int(t)) for t in lts]
+        right += [(f"k{k}", int(t), float(t) * 10 + k) for t in rts]
+    return left, right
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_case())
+def test_asof_property_matches_pandas(spark, case):
+    left, right = case
+    base = pd.Timestamp(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(seconds=t)).to_pydatetime())
+         for k, t in left], "key string, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(seconds=t)).to_pydatetime(), v)
+         for k, t, v in right], "key string, rts timestamp, payload double")
+
+    for direction in ("backward", "forward"):
+        got = asof_join(ldf, rdf, on="key", left_ts="ts", right_ts="rts",
+                        direction=direction).toPandas()
+        lp = pd.DataFrame(left, columns=["key", "t"])
+        rp = pd.DataFrame(right, columns=["key", "t", "payload"])
+        lp["ts"] = pd.Timestamp(2024, 1, 1) + pd.to_timedelta(lp.pop("t"), "s")
+        rp["rts"] = pd.Timestamp(2024, 1, 1) + pd.to_timedelta(rp.pop("t"), "s")
+        want = pd.merge_asof(lp.sort_values("ts", kind="stable"),
+                             rp.sort_values("rts", kind="stable"),
+                             left_on="ts", right_on="rts", by="key",
+                             direction=direction).drop(columns=["rts"])
+        g = got.sort_values(["key", "ts", "payload"],
+                            na_position="last").reset_index(drop=True)
+        w = want.sort_values(["key", "ts", "payload"],
+                             na_position="last").reset_index(drop=True)
+        gp = g["payload"].astype("float64").to_numpy()
+        wp = w["payload"].astype("float64").to_numpy()
+        assert len(g) == len(w), direction
+        match = (gp == wp) | (np.isnan(gp) & np.isnan(wp))
+        assert match.all(), f"{direction}: {g[~match]} vs {w[~match]}"
