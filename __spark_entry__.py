@@ -241,6 +241,19 @@ def q10b_approx_distinct(spark, sf):
     return li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
 
 
+def q10c_percentiles(spark, sf):
+    """D7/D8 exact percentiles (linear interpolation, matches quantile_cont)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
 def q11_topk_global(spark, sf):
     """D10 global top-k via TakeOrdered (orderBy + limit)."""
     o = _t(spark, sf, "orders")
@@ -990,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_cube": q09_cube,
         "q10_distinct": q10_distinct,
         "q10b_approx_distinct": q10b_approx_distinct,
+        "q10c_percentiles": q10c_percentiles,
         "q11_topk_global": q11_topk_global,
         "q12_topk_per_group": q12_topk_per_group,
         "q13_window_rank": q13_window_rank,
@@ -1114,6 +1128,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_parts,
                    COUNT(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q10c_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+                   ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty
             FROM lineitem GROUP BY l_returnflag
         """,
         "q11_topk_global": """
