@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from featureextraction_jl_spark.functions.moments import compute_moments
-from featureextraction_jl_spark.functions.pca import fit_pca, project_udf
+from featureextraction_jl_spark.functions.pca import fit_pca, inverse_udf, project_udf
 from featureextraction_jl_spark.functions.timeutil import epoch_seconds
 from featureextraction_jl_spark.operators.asof import asof_join
 from featureextraction_jl_spark.operators.backfill import forward_fill
@@ -196,12 +196,27 @@ def q07_range_join(spark, sf):
 
 
 def q08_rollup(spark, sf):
-    """D9 rollup multi-granularity aggregation."""
+    """D9 rollup + explicit GROUPING SETS, src-tagged in one result.
+
+    The two multi-granularity forms (``df.rollup`` and SQL ``GROUPING
+    SETS``) are unioned with a ``src`` discriminator so both stay inside the
+    driver's correctness window as one query (cube is q09).
+    """
     li = _t(spark, sf, "lineitem")
-    return (
+    roll = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("sum_qty"))
+        .withColumn("src", F.lit("rollup"))
     )
+    li.createOrReplaceTempView("lineitem_gs")
+    gsets = spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+               'gsets' AS src
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+    return roll.unionByName(gsets)
 
 
 def q09_cube(spark, sf):
@@ -214,37 +229,22 @@ def q09_cube(spark, sf):
     )
 
 
-def q08b_grouping_sets(spark, sf):
-    """D9 explicit GROUPING SETS (rollup/cube's third form)."""
-    li = _t(spark, sf, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """)
-
-
 def q10_distinct(spark, sf):
-    """D8 distinct / count-distinct."""
+    """D8 distinct / approx-distinct / exact percentiles in one aggregate.
+
+    ``approx_ok`` closes the HLL verification gap: the sketch value itself
+    differs by engine, but |approx - exact| <= 3*rsd*exact is checkable —
+    the oracle emits TRUE, so a drifting sketch fails the value hash
+    instead of hiding behind `no_oracle`.
+    """
     li = _t(spark, sf, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
+        exact.alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-    )
-
-
-def q10b_approx_distinct(spark, sf):
-    """D8 approx_count_distinct (HLL++) — rows-only (sketch differs by engine)."""
-    li = _t(spark, sf, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
-
-
-def q10c_percentiles(spark, sf):
-    """D7/D8 exact percentiles (linear interpolation, matches quantile_cont)."""
-    li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+        (F.abs(approx.cast("double") - exact.cast("double"))
+         <= 3 * 0.01 * exact.cast("double")).alias("approx_ok"),
         F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
@@ -359,30 +359,26 @@ def q18_array_fns(spark, sf):
     )
 
 
-def q18b_map_struct(spark, sf):
-    """D18 map/struct functions as scalar-output columns."""
+def q19_json_fns(spark, sf):
+    """D18 map/struct + D19 JSON functions as scalar-output columns.
+
+    One events pass covers both families so each keeps a driver-checked
+    representative inside the correctness window.
+    """
     e = _t(spark, sf, "events")
     m = F.create_map(F.lit("type"), F.col("event_type"),
                      F.lit("uid"), F.col("user_id").cast("string"))
     s = F.struct(F.col("user_id").alias("uid"), F.col("value").alias("val"))
     return e.select(
         "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
         m.getItem("type").alias("type_from_map"),
         m.getItem("uid").alias("uid_from_map"),
         F.size(m).alias("map_size"),
         F.array_join(F.map_keys(m), ",").alias("keys_joined"),
         s.getField("uid").alias("uid_from_struct"),
         s.getField("val").alias("val_from_struct"),
-    )
-
-
-def q19_json_fns(spark, sf):
-    """D19 JSON functions over events.props."""
-    e = _t(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
     )
 
 
@@ -444,53 +440,57 @@ def q24_rolling_time(spark, sf):
 
 
 def q25_asof_backward(spark, sf):
-    """C1 backward as-of join: latest purchase at or before each event."""
-    e = _t(spark, sf, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value"))
-    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
-                    on="user_id", left_ts="ts", right_ts="pts",
-                    direction="backward", right_order=["purchase_value"])
-    return out.select("user_id", "event_id", "purchase_value")
+    """C1/C2 backward as-of join, unbounded + 2-hour-tolerance columns.
 
-
-def q26_asof_forward(spark, sf):
-    """C2 forward as-of join: next purchase at or after each event."""
-    e = _t(spark, sf, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts"), F.col("value").alias("next_purchase"))
-    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
-                    on="user_id", left_ts="ts", right_ts="pts",
-                    direction="forward", right_order=["next_purchase"])
-    return out.select("user_id", "event_id", "next_purchase")
-
-
-def q26b_asof_nearest(spark, sf):
-    """C2 nearest as-of: closer of last-before / first-after purchase.
-
-    Tie at equal distance goes to the backward match (pinned in asof.py and
-    mirrored by the oracle's <= comparison).
+    ONE union-trick sweep (keep_match_ts=True) feeds both outputs: the
+    latest purchase at or before each event, and the same match nulled when
+    it falls outside the trailing 2 hours — the tolerance variant shares the
+    sweep instead of costing a second query slot.
     """
     e = _t(spark, sf, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts"),
-        F.col("value").alias("nearest_purchase"))
-    out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
-                    on="user_id", left_ts="ts", right_ts="pts",
-                    direction="nearest", right_order=["nearest_purchase"])
-    return out.select("user_id", "event_id", "nearest_purchase")
-
-
-def q25b_asof_tolerance(spark, sf):
-    """C2 as-of with tolerance: purchase within the trailing 2 hours only."""
-    e = _t(spark, sf, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value"))
     out = asof_join(e.select("user_id", "event_id", "ts"), purchases,
                     on="user_id", left_ts="ts", right_ts="pts",
-                    direction="backward", tolerance_seconds=7200.0,
-                    right_order=["purchase_value"])
-    return out.select("user_id", "event_id", "purchase_value")
+                    direction="backward", right_order=["purchase_value"],
+                    keep_match_ts=True)
+    within = F.col("matched_ts").isNotNull() & (
+        (epoch_seconds("ts") - epoch_seconds(F.col("matched_ts"))) <= 7200.0)
+    return out.select(
+        "user_id", "event_id", "purchase_value",
+        F.when(within, F.col("purchase_value")).alias("purchase_value_2h"))
+
+
+def q26_asof_forward(spark, sf):
+    """C2 forward + nearest as-of in one result.
+
+    The nearest variant needs both directional sweeps anyway, so q26 chains
+    backward-then-forward (exactly what direction="nearest" does internally)
+    and emits the forward match AND the nearest-of-both — tie at equal
+    distance goes to the backward match (pinned in asof.py and mirrored by
+    the oracle's <= comparison).
+    """
+    e = _t(spark, sf, "events")
+    pb = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("bval"))
+    back = asof_join(e.select("user_id", "event_id", "ts"), pb,
+                     on="user_id", left_ts="ts", right_ts="pts",
+                     direction="backward", right_order=["bval"],
+                     keep_match_ts=True).withColumnRenamed("matched_ts", "bts")
+    pf = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("next_purchase"))
+    both = asof_join(back, pf, on="user_id", left_ts="ts", right_ts="pts",
+                     direction="forward", right_order=["next_purchase"],
+                     keep_match_ts=True)
+    lt = epoch_seconds("ts")
+    bgap = lt - epoch_seconds(F.col("bts"))
+    fgap = epoch_seconds(F.col("matched_ts")) - lt
+    use_b = F.col("bts").isNotNull() & (
+        F.col("matched_ts").isNull() | (bgap <= fgap))
+    return both.select(
+        "user_id", "event_id", "next_purchase",
+        F.when(use_b, F.col("bval")).otherwise(F.col("next_purchase"))
+        .alias("nearest_purchase"))
 
 
 def q27_backfill(spark, sf):
@@ -531,6 +531,27 @@ def q30_session_stats(spark, sf):
         (epoch_seconds("session_end") - epoch_seconds("session_start"))
         .alias("duration_sec"),
         "n_turns",
+    )
+
+
+def q50_session_window(spark, sf):
+    """C5/C7 native ``session_window`` aggregation, pinned against q21/q30.
+
+    Spark's built-in session window merges an event landing at EXACTLY
+    last_ts + gap into the running session (probed empirically), i.e. a new
+    session starts only when gap > 30min — identical semantics to the
+    cumulative-sum sessionize (q21), so the same DuckDB oracle shape checks
+    both.  At scale this is the one-shuffle streaming-compatible form of
+    sessionization (groupBy user + session_window, partial-merge capable).
+    """
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             _dsum("value").alias("sum_value"))
+        .select("user_id",
+                epoch_seconds(F.col("session_window.start")).alias("start_epoch"),
+                "n_turns", "sum_value")
     )
 
 
@@ -587,22 +608,36 @@ def q34_dim_means(spark, sf):
 
 
 def q35_pca_project(spark, sf):
-    """A5/A6 PCA fit + projection (rows-only: eigh not SQL-expressible).
+    """A5/A6/A8 PCA-whitening fit + projection + inverse, value-oracled.
 
-    Correctness of the math is pytest-gated against the NumPy oracle
-    (tests/test_kernels.py); here the driver checks schema + row count.
-    Output is posexploded to scalar columns (vec_id, pos, pc_val) — the
-    driver's canonicalizer sorts on every column and cannot hash
-    array<double> (round-1 q35 crash).
+    eigh itself is not SQL-expressible, but two per-row invariants of the
+    full-rank (k=p) whitening pipeline are, with the independently-fitted
+    NumPy model inlined as literals in the oracle (:func:`_q35_oracle` —
+    the q45 hyperplane trick):
+
+    * ``maha2`` = ||whitened projection||^2 = (x-mu)' Sigma^{-1} (x-mu) —
+      the Mahalanobis form is invariant to eigenvector basis/sign/order, so
+      it is numerically robust where raw per-component values are not
+      (near-degenerate eigenvalues rotate eigenvectors arbitrarily);
+    * ``recon_err`` = ||x - inverse(project(x))|| — exactly 0 at k=p, so the
+      A8 roundtrip is pinned at the driver surface (oracle emits 0.0).
+
+    Per-component values + sign fix + descending order stay pytest-gated
+    against the NumPy oracle (tests/test_kernels.py).
     """
     e = _t(spark, sf, "embeddings")
     df = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     m = compute_moments(df, "v")
-    model = fit_pca(m, k=8, mode="pca_whiten")
-    proj = df.select("vec_id", project_udf(model, "v").alias("pc"))
-    return proj.select(
-        "vec_id", F.posexplode("pc").alias("pos", "val")
-    ).select("vec_id", "pos", F.round("val", 6).alias("pc_val"))
+    model = fit_pca(m, k=None, mode="pca_whiten")
+    proj = df.select("vec_id", "v", project_udf(model, "v").alias("pc"))
+    maha2 = F.aggregate(F.transform("pc", lambda x: x * x), F.lit(0.0),
+                        lambda acc, x: acc + x)
+    recon = inverse_udf(model, "pc")
+    err2 = F.aggregate(F.zip_with("v", recon, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return proj.select("vec_id",
+                       F.round(maha2, 4).alias("maha2"),
+                       F.round(F.sqrt(err2), 6).alias("recon_err"))
 
 
 def q36_grouped_moments(spark, sf):
@@ -694,6 +729,18 @@ def q40_langid(spark, sf):
                     de.alias("votes_de"), best.alias("lang_pred"))
 
 
+#: q41/q48/q49 MinHash-LSH parameters, shared between the Spark calls and
+#: the oracle CTE builder (_minhash_pairs_cte) so neither side can silently
+#: desynchronize (mirrors the Q45 dict pattern).
+Q41 = dict(num_hashes=32, bands=8, k=5)
+
+#: q43 stop-gram pruning fraction, shared by the Spark call and the oracle
+#: SQL. Both sides evaluate the same IEEE-double expression
+#: ``df > n_docs * 0.1`` (integer df promoted to double), so the cut is
+#: bit-identical even though 0.1 itself is not exactly representable.
+Q43_MAX_DF_FRAC = 0.1
+
+
 def q41_minhash_pairs(spark, sf):
     """MinHash+LSH near-dup candidates — fully DuckDB-oracled.
 
@@ -703,8 +750,7 @@ def q41_minhash_pairs(spark, sf):
     production scale path keeps xxhash64 (portable=False).
     """
     d = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8, k=5,
-                             portable=True)
+    return minhash_lsh_pairs(d, "text", "doc_id", portable=True, **Q41)
 
 
 def q42_simhash(spark, sf):
@@ -727,13 +773,17 @@ def q43_ngram_jaccard(spark, sf):
     """
     d = _t(spark, sf, "documents")
     # Stop-gram pruning (the scale guard against quadratic hot-gram joins)
-    # at 97% document frequency — provably non-binding on this corpus
-    # (max observed DF is 96.2% at sf0.01, 95.8% at sf0.1; equality with the
-    # unpruned result is pinned in tests/test_dedup.py), so the unpruned
-    # DuckDB oracle still matches exactly.
-    max_df = int(0.97 * d.count())
+    # BINDS at 10% document frequency, and the DuckDB oracle applies the
+    # IDENTICAL pruning so values still match exactly — Jaccard is then
+    # exact over the pruned (rare-gram) space, the standard stop-gram
+    # semantics.  The round-2 non-binding 97% threshold kept oracle parity
+    # but let near-universal grams explode the self-join quadratically off
+    # the gate scale: measured 2.21e9 join rows unpruned at sf0.1 (never
+    # finishes) vs 4.3e6 at 10% (seconds).  max_df_frac resolves the
+    # threshold INSIDE the plan (count(1) aggregate broadcast onto the
+    # per-gram DF frame) — no separate driver-side full-corpus count action.
     out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
-                              max_df=max_df)
+                              max_df_frac=Q43_MAX_DF_FRAC)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -757,8 +807,7 @@ def q48_dedup_clusters(spark, sf):
     """
     from featureextraction_jl_spark.operators.dedup import connected_components
     d = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8,
-                              k=5, portable=True)
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", portable=True, **Q41)
     return connected_components(pairs, d.select("doc_id"), "doc_id")
 
 
@@ -766,8 +815,7 @@ def q49_near_dedup_survivors(spark, sf):
     """Corpus after near-dedup: min-id survivor per near-dup component."""
     from featureextraction_jl_spark.operators.dedup import near_dedup_survivors
     d = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8,
-                              k=5, portable=True)
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", portable=True, **Q41)
     return near_dedup_survivors(d, pairs, "doc_id").select("doc_id", "n_chars")
 
 
@@ -843,28 +891,38 @@ def q46_doc_fingerprint(spark, sf):
 def _minhash_pairs_cte() -> str:
     """The shared CTE chain reproducing the portable MinHash+LSH candidate
     pairs in DuckDB (gram md5 hashes, Carter–Wegman literals, band keys);
-    ends with a ``pairs(id_a, id_b)`` CTE for q41/q48/q49 to build on."""
+    ends with a ``pairs(id_a, id_b)`` CTE for q41/q48/q49 to build on.
+
+    Every parameter derives from the same ``Q41`` dict / dedup-module
+    constants the Spark calls use — neither side can silently drift.  Gram
+    positions use ``length(lower(text))`` exactly like shingle_hashes (a
+    Unicode char whose lowercase form changes string length, e.g. U+0130,
+    would otherwise desynchronize the gram count).
+    """
     from featureextraction_jl_spark.operators.dedup import (
-        MINHASH_P, carter_wegman_coefs)
+        MINHASH_P, PORTABLE_HASH_HEX_CHARS, carter_wegman_coefs)
 
     p = MINHASH_P
-    coefs = carter_wegman_coefs(32)
+    nh, bands, k = Q41["num_hashes"], Q41["bands"], Q41["k"]
+    assert nh % bands == 0
+    r = nh // bands
+    hexw = PORTABLE_HASH_HEX_CHARS
+    coefs = carter_wegman_coefs(nh)
     mins = ",\n                   ".join(
         f"MIN(((h % {p}) * {a} + {b}) % {p}) AS mh_{i}"
         for i, (a, b) in enumerate(coefs))
-    r = 4  # 32 hashes / 8 bands
     band_rows = "\n                UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         + " || ',' || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         + " AS band_hash FROM sig"
-        for b in range(8))
+        for b in range(bands))
     return f"""grams AS (
                 SELECT DISTINCT doc_id,
-                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                       ('0x' || substr(md5(g), 1, {hexw}))::BIGINT AS h
                 FROM (SELECT doc_id,
                              unnest(list_transform(
-                                 range(1, GREATEST(length(text) - 4, 1) + 1),
-                                 i -> substr(lower(text), CAST(i AS INT), 5))) AS g
+                                 range(1, GREATEST(length(lower(text)) - {k - 1}, 1) + 1),
+                                 i -> substr(lower(text), CAST(i AS INT), {k}))) AS g
                       FROM documents)
             ),
             sig AS (
@@ -989,6 +1047,65 @@ def _q45_oracle() -> str:
             FROM cos WHERE c >= {Q45["threshold"]}
         """
 
+
+def _q35_oracle() -> str:
+    """Independent NumPy refit of the q35 whitening model, inlined as literals.
+
+    Reads the embeddings parquet at the driver's compare scale (sf0.01, the
+    same default tests/test_queries.py uses; override with
+    SPARK_GRAFT_SF_DIR_TEST) and emits SQL computing the Mahalanobis form
+    (x-mu)' Sigma^{-1} (x-mu) per row, with mu and
+    Sigma^{-1} = V diag(1/(lam+EPS)) V' inlined as 17-digit DOUBLE literals
+    (exact float64 round-trip — the q45 hyperplane trick).  For the
+    full-rank whitening model this equals ||pc||^2 exactly and is invariant
+    to eigenvector basis/sign/order, so agreement after ROUND(.,4) checks
+    that the distributed moments (Arrow partials + Chan merge) and the
+    projection UDF match an INDEPENDENT NumPy fit — a true value oracle for
+    the only query that previously had none.  recon_err is exactly 0 at
+    k=p (A8 roundtrip), emitted as the constant the Spark side must hit.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from featureextraction_jl_spark.functions.pca import EPS
+
+    sfd = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    col = pq.read_table(os.path.join(sfd, "embeddings.parquet"),
+                        columns=["embedding"]).column("embedding")
+    col = col.combine_chunks()
+    n = len(col)
+    x = np.asarray(col.values, dtype=np.float64).reshape(n, -1)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    cov = (xc.T @ xc) / (n - 1)
+    lam, vec = np.linalg.eigh(cov)
+    lam = np.clip(lam, 0.0, None)
+    # whitening factor A = diag(1/sqrt(lam+EPS)) V'; maha2 = sum_j (A_j . c)^2.
+    # One flat-literal list_dot_product per row of A (the q45 per-plane shape):
+    # DuckDB constant-folds each literal vector once, vs ~44x slower when the
+    # full matrix is a nested literal indexed inside a lambda (measured 14.1 s
+    # -> 0.32 s on the 500-row compare scale).
+    a = (vec / np.sqrt(lam + EPS)).T
+    dim = x.shape[1]
+    mu_l = ",".join(f"{v:.17e}" for v in mu)
+    maha = " + ".join(
+        "POWER(list_dot_product(c, ["
+        + ",".join(f"{v:.17e}" for v in row) + "]), 2)"
+        for row in a)
+    return f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id,
+                         list_transform(range(1, {dim + 1}),
+                                        i -> v[i] - ([{mu_l}])[i]) AS c
+                  FROM e)
+            SELECT vec_id,
+                   ROUND({maha}, 4) AS maha2,
+                   CAST(0.0 AS DOUBLE) AS recon_err
+            FROM c
+        """
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_agg_pricing": q01_agg_pricing,
@@ -999,11 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_semi_anti": q06_semi_anti,
         "q07_range_join": q07_range_join,
         "q08_rollup": q08_rollup,
-        "q08b_grouping_sets": q08b_grouping_sets,
         "q09_cube": q09_cube,
         "q10_distinct": q10_distinct,
-        "q10b_approx_distinct": q10b_approx_distinct,
-        "q10c_percentiles": q10c_percentiles,
         "q11_topk_global": q11_topk_global,
         "q12_topk_per_group": q12_topk_per_group,
         "q13_window_rank": q13_window_rank,
@@ -1012,7 +1126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_datetime_fns": q16_datetime_fns,
         "q17_math_fns": q17_math_fns,
         "q18_array_fns": q18_array_fns,
-        "q18b_map_struct": q18b_map_struct,
         "q19_json_fns": q19_json_fns,
         "q20_case_nullsafe": q20_case_nullsafe,
         "q21_sessionize": q21_sessionize,
@@ -1020,13 +1133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_rolling_rows": q23_rolling_rows,
         "q24_rolling_time": q24_rolling_time,
         "q25_asof_backward": q25_asof_backward,
-        "q25b_asof_tolerance": q25b_asof_tolerance,
         "q26_asof_forward": q26_asof_forward,
-        "q26b_asof_nearest": q26b_asof_nearest,
         "q27_backfill": q27_backfill,
         "q28_dedup_latest": q28_dedup_latest,
         "q29_tumbling": q29_tumbling,
         "q30_session_stats": q30_session_stats,
+        "q50_session_window": q50_session_window,
         "q31_zscore_global": q31_zscore_global,
         "q32_zscore_group": q32_zscore_group,
         "q33_cov_corr": q33_cov_corr,
@@ -1050,7 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q01_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
@@ -1110,12 +1222,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q08_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+                   'rollup' AS src
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        """,
-        "q08b_grouping_sets": """
+            UNION ALL
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+                   'gsets' AS src
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
@@ -1124,14 +1237,13 @@ def oracle_sql() -> dict[str, str]:
                    GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
+        # approx_ok: the HLL sketch value is engine-specific, but the bound
+        # |approx - exact| <= 3*rsd*exact is not — the oracle asserts TRUE.
         "q10_distinct": """
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_parts,
-                   COUNT(DISTINCT l_suppkey) AS n_supps
-            FROM lineitem GROUP BY l_returnflag
-        """,
-        "q10c_percentiles": """
-            SELECT l_returnflag,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   TRUE AS approx_ok,
                    ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
                    ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
                    ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
@@ -1210,13 +1322,20 @@ def oracle_sql() -> dict[str, str]:
                          x -> CAST(x AS DOUBLE))), 6) AS head_sum
             FROM embeddings
         """,
-        "q18b_map_struct": """
+        # map_extract(...)[1], not bracket extraction: on DuckDB <=1.1 (this
+        # sandbox runs 1.0) MAP[...] returns a LIST, but on >=1.2 bracket
+        # extraction returns the value directly and [1] would slice the
+        # VARCHAR's first char — map_extract is the stable list-returning
+        # alias across versions.
+        "q19_json_fns": """
             SELECT event_id,
-                   MAP(['type','uid'],
-                       [event_type, CAST(user_id AS VARCHAR)])['type'][1]
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                   map_extract(MAP(['type','uid'],
+                       [event_type, CAST(user_id AS VARCHAR)]), 'type')[1]
                        AS type_from_map,
-                   MAP(['type','uid'],
-                       [event_type, CAST(user_id AS VARCHAR)])['uid'][1]
+                   map_extract(MAP(['type','uid'],
+                       [event_type, CAST(user_id AS VARCHAR)]), 'uid')[1]
                        AS uid_from_map,
                    CAST(cardinality(MAP(['type','uid'],
                        [event_type, CAST(user_id AS VARCHAR)])) AS INT)
@@ -1224,12 +1343,6 @@ def oracle_sql() -> dict[str, str]:
                    'type,uid' AS keys_joined,
                    ({'uid': user_id, 'val': value}).uid AS uid_from_struct,
                    ({'uid': user_id, 'val': value}).val AS val_from_struct
-            FROM events
-        """,
-        "q19_json_fns": """
-            SELECT event_id,
-                   json_extract_string(props, '$.k') AS k_str,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
             FROM events
         """,
         "q20_case_nullsafe": """
@@ -1279,32 +1392,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q25_asof_backward": """
-            SELECT e.user_id, e.event_id, p.purchase_value
-            FROM events e ASOF LEFT JOIN
-                 (SELECT user_id, ts, value AS purchase_value FROM events
-                  WHERE event_type = 'purchase') p
-              ON e.user_id = p.user_id AND e.ts >= p.ts
-        """,
-        "q25b_asof_tolerance": """
-            SELECT e.user_id, e.event_id,
+            SELECT e.user_id, e.event_id, p.purchase_value,
                    CASE WHEN p.ts IS NOT NULL
                              AND e.ts - p.ts <= INTERVAL 7200 SECONDS
-                        THEN p.purchase_value END AS purchase_value
+                        THEN p.purchase_value END AS purchase_value_2h
             FROM events e ASOF LEFT JOIN
                  (SELECT user_id, ts, value AS purchase_value FROM events
                   WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
-        """,
-        "q26_asof_forward": """
-            SELECT e.user_id, e.event_id, p.next_purchase
-            FROM events e ASOF LEFT JOIN
-                 (SELECT user_id, ts, value AS next_purchase FROM events
-                  WHERE event_type = 'purchase') p
-              ON e.user_id = p.user_id AND e.ts <= p.ts
         """,
         # nearest = closer of the backward / forward as-of matches; equal
         # distance resolves to the backward match (<=), mirroring asof.py.
-        "q26b_asof_nearest": """
+        "q26_asof_forward": """
             WITH p AS (SELECT user_id, ts, value AS pv FROM events
                        WHERE event_type = 'purchase'),
             b AS (SELECT e.user_id, e.event_id, e.ts, p.ts AS bts, p.pv AS bval
@@ -1313,7 +1412,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT e.event_id, p.ts AS fts, p.pv AS fval
                   FROM events e ASOF LEFT JOIN p
                     ON e.user_id = p.user_id AND e.ts <= p.ts)
-            SELECT b.user_id, b.event_id,
+            SELECT b.user_id, b.event_id, f.fval AS next_purchase,
                    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
                              EPOCH(b.ts) - EPOCH(bts) <= EPOCH(fts) - EPOCH(b.ts))
                         THEN bval ELSE fval END AS nearest_purchase
@@ -1477,13 +1576,22 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
-        "q43_ngram_jaccard": """
-            WITH grams AS (
+        # Mirrors the Spark plan EXACTLY, including the binding stop-gram
+        # pruning (DF > n_docs * frac excluded; sizes computed post-prune,
+        # so Jaccard is exact over the pruned gram space on both sides).
+        "q43_ngram_jaccard": f"""
+            WITH grams0 AS (
                 SELECT doc_id,
                        unnest(list_distinct(list_transform(
-                           range(1, GREATEST(length(text) - 2, 1) + 1),
+                           range(1, GREATEST(length(lower(text)) - 2, 1) + 1),
                            i -> substr(lower(text), CAST(i AS INT), 3)))) AS g
                 FROM documents
+            ),
+            gdf AS (SELECT g, COUNT(*) AS dfc FROM grams0 GROUP BY g),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            grams AS (
+                SELECT doc_id, g FROM grams0 JOIN gdf USING (g), nd
+                WHERE NOT (dfc > n * {Q43_MAX_DF_FRAC!r})
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
             inter AS (
@@ -1518,7 +1626,33 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0 END AS BIGINT) AS n_shingles
             FROM documents
         """,
+        # Native session_window (q50) must agree with the cumulative-sum
+        # sessionize oracle (q21/q30): a new session starts only when
+        # gap > 30 min (an event at EXACTLY last_ts + gap merges — probed
+        # empirically against Spark's session_window and pinned here).
+        "q50_session_window": """
+            WITH sess AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+              FROM (SELECT user_id, event_id, ts, value,
+                           EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id) AS gap
+                    FROM events))
+            SELECT user_id,
+                   EPOCH(MIN(ts)) AS start_epoch,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, session_id
+        """,
     }
+    # q35's oracle inlines an independently-fitted NumPy whitening model as
+    # literals (built at call time from the compare-scale parquet, like the
+    # q45 hyperplane literals) — not expressible as a static string above.
+    sql["q35_pca_project"] = _q35_oracle()
+    return sql
 
 
 if __name__ == "__main__":

@@ -53,6 +53,11 @@ def shingle_hashes(text_col: str, k: int = 5):
                        lambda i: F.xxhash64(t.substr(i, F.lit(k))))
 
 
+#: hex chars of md5 kept by the portable gram hash (60 bits: positive int64).
+#: Shared with the oracle SQL builders — change in lockstep.
+PORTABLE_HASH_HEX_CHARS = 15
+
+
 def portable_gram_hash(gram):
     """60-bit hash any ANSI engine can reproduce: first 15 hex chars of md5.
 
@@ -61,7 +66,8 @@ def portable_gram_hash(gram):
     positive in an int64.  Slower than xxhash64 — use only where
     cross-engine verification matters; the scale path stays on xxhash64.
     """
-    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(gram), 1, PORTABLE_HASH_HEX_CHARS),
+                  16, 10).cast("long")
 
 
 def portable_shingle_hashes(text_col: str, k: int = 5):
@@ -167,7 +173,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        max_df_frac: float | None = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one n-gram.
 
     Inverted-index join on n-gram hash (|intersection| via groupBy count),
@@ -181,14 +188,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the set sizes (Jaccard is then exact over the pruned gram space).  The
     frequent-gram set is tiny by construction (heavy hitters only), so the
     exclusion is a broadcast anti-join — no extra full shuffle.
+
+    ``max_df_frac``: same pruning with the threshold expressed as a fraction
+    of the corpus size, resolved INSIDE the plan (a count(1) aggregate
+    cross-joined onto the tiny per-gram DF frame) — no separate driver-side
+    ``df.count()`` action scanning the corpus twice just to set a constant.
     """
     grams = df.select(
         id_col,
         F.explode(F.array_distinct(shingle_hashes(text_col, n))).alias("g"),
     )
-    if max_df is not None:
-        frequent = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-                    .filter(F.col("__df") > max_df).select("g"))
+    if max_df is not None or max_df_frac is not None:
+        gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        if max_df is not None:
+            frequent = gram_df.filter(F.col("__df") > max_df).select("g")
+        else:
+            # count(1) over a column-pruned scan; broadcast onto the gram-DF
+            # frame so the threshold is part of this one plan, not an action.
+            ndocs = df.agg(F.count(F.lit(1)).alias("__nd"))
+            frequent = (gram_df.crossJoin(F.broadcast(ndocs))
+                        .filter(F.col("__df") >
+                                F.col("__nd") * F.lit(float(max_df_frac)))
+                        .select("g"))
         grams = grams.join(F.broadcast(frequent), on="g", how="left_anti")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -241,7 +262,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     for b in range(bits):
         fp = fp + F.when(F.col(f"__v{b}") > 0,
                          F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    return votes.select(id_col, fp.alias("simhash"))
+    fps = votes.select(id_col, fp.alias("simhash"))
+    # Row-semantics guard: the explode+groupBy would silently drop rows whose
+    # shingle hash array is NULL (null/unhashable text) and collapse
+    # duplicate ids to one row.  Left-join the fingerprints back onto the
+    # input id column so the output has exactly one row per INPUT row, with
+    # fingerprint 0 for unhashable text — matching the per-row semantics of
+    # the pre-one-pass implementation.
+    return (df.select(id_col).join(fps, on=id_col, how="left")
+            .select(id_col, F.coalesce(F.col("simhash"),
+                                       F.lit(0).cast("long")).alias("simhash")))
 
 
 def connected_components(pairs: DataFrame, ids: DataFrame,
@@ -263,14 +293,26 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     truncate the iterative lineage (on a real cluster use a checkpoint
     dir — executor loss invalidates localCheckpoint blocks).  A driver-side
     O(1) decimal-sum convergence test stops early: labels only ever
-    decrease, so an unchanged sum <=> fixed point.
+    decrease, so an unchanged sum <=> fixed point.  If the sum never
+    stabilizes within ``max_iter`` rounds the labels may still be
+    mid-propagation, so the loop raises rather than silently returning a
+    wrong (under-merged) clustering.
+
+    ``edges`` is eagerly ``localCheckpoint``-ed ONCE at entry: each round's
+    ``edges.join(labels)`` otherwise re-executes the whole upstream
+    candidate-pair pipeline (shingle -> MinHash signature -> banding ->
+    self-join) from the source per iteration — correct, but an O(log
+    diameter) multiplier on the most expensive stage at scale.  Pinned by
+    tests/test_dedup.py (upstream pipeline executes exactly once).
     """
     edges = pairs.select(F.col(left).alias("u"), F.col(right).alias("v")).union(
         pairs.select(F.col(right).alias("u"), F.col(left).alias("v")))
+    edges = edges.localCheckpoint(eager=True)
     labels = ids.select(F.col(id_col).alias("u"),
                         F.col(id_col).alias("label")).distinct()
     labels = labels.localCheckpoint(eager=False)
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, on="u").select(F.col("v").alias("u"), "label")
         labels = (labels.union(msgs).groupBy("u")
@@ -286,8 +328,15 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         cur = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
         if prev_sum is not None and cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: label sum did not reach a fixed point "
+            f"within max_iter={max_iter} rounds — labels would be "
+            f"under-merged; raise max_iter (components this deep after "
+            f"pointer doubling imply diameter ~2^{max_iter})")
     return labels.select(F.col("u").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

@@ -217,3 +217,79 @@ def test_connected_components_chain_and_isolated(spark):
     docs = ids.withColumn("text", F.concat(F.lit("doc"), "doc_id"))
     surv = {r["doc_id"] for r in near_dedup_survivors(docs, pairs).collect()}
     assert surv == {0, 10, 20}
+
+
+def test_connected_components_caches_edges_upstream_once(spark):
+    """The edge frame is localCheckpoint-ed ONCE at entry (VERDICT r2 #1):
+    each propagation round must NOT re-execute the upstream candidate-pair
+    pipeline.  An accumulator-instrumented mapInPandas source counts
+    upstream partition evaluations: the union inside connected_components
+    references pairs twice, so the one eager checkpoint job evaluates the
+    source exactly twice — any per-round recompute on this >=3-round chain
+    would push the count to >= 6."""
+    from featureextraction_jl_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long").coalesce(1)
+
+    def mark(batches):
+        acc.add(1)
+        yield from batches
+
+    pairs = base.mapInPandas(mark, base.schema)
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, ids, "doc_id").collect()}
+    assert got == {i: 0 for i in range(5)}
+    assert acc.value == 2, f"upstream evaluated {acc.value}x (expected 2: one checkpoint job, union reads source twice)"
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """ADVICE r2: exiting via max_iter without a sum fixpoint must raise,
+    not silently return under-merged labels."""
+    from featureextraction_jl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(pairs, ids, "doc_id", max_iter=1)
+
+
+def test_simhash_null_text_and_duplicate_ids_keep_row_semantics(spark):
+    """ADVICE r2: the one-pass explode+groupBy path must emit one row per
+    INPUT row — fingerprint 0 for null/unhashable text, duplicate ids not
+    collapsed (matching the original per-row implementation)."""
+    d = spark.createDataFrame(
+        [(0, None), (1, "the quick brown fox"), (1, "the quick brown fox"),
+         (2, None)],
+        "doc_id long, text string")
+    rows = simhash(d, "text", "doc_id", bits=16).collect()
+    assert len(rows) == 4
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["simhash"])
+    # NULL text still yields exactly one row with a deterministic constant
+    # fingerprint (xxhash64 over a null gram hashes to the seed), shared by
+    # every null-text doc — and duplicate ids are NOT collapsed.
+    assert len(by_id[0]) == 1 and by_id[0] == by_id[2]
+    assert len(by_id[1]) == 2 and by_id[1][0] == by_id[1][1] != by_id[0][0]
+
+
+def test_jaccard_max_df_frac_equals_absolute_max_df(spark):
+    """max_df_frac resolves the same threshold INSIDE the plan (no separate
+    driver-side count action) — results must match the absolute form."""
+    rows = [(i, "xx" + format(i, "04d")) for i in range(20)]
+    rows += [(100, "yyab"), (101, "yyab")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda df: {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                      for r in df.collect()}
+    absolute = ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01,
+                                   max_df=5)
+    # 22 docs * 0.25 = 5.5 (exact in binary float): DF > 5.5 <=> DF > 5 for
+    # integer DF — same cut as the absolute form, no float-boundary risk.
+    frac = ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01,
+                               max_df_frac=0.25)
+    assert key(absolute) == key(frac)
+    assert len(key(frac)) >= 1  # the yyab near-dup pair survives pruning
