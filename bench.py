@@ -83,7 +83,9 @@ def headline_queries(sf_dir: str):
         "q34_dim_means",        # explode + agg
         "q35_pca_project",      # moments + eigh + Arrow projection
         "q41_minhash_pairs",    # LSH self-join
+        "q43_ngram_jaccard",    # inverted-index join + binding stop-gram prune
         "q44_cosine_topk",      # similarity search
+        "q48_dedup_clusters",   # LSH pairs -> connected components (cached edges)
     ]
     qs = entrymod.queries()
     return [(n, qs[n]) for n in names]

@@ -179,7 +179,12 @@ def main() -> None:
                   f"| {r[f'cpu_{lo}']} | {r[f'cpu_{hi}']} "
                   f"| {r[f'gc_{lo}']} | {r[f'gc_{hi}']} "
                   f"| {r['cpu_inflation']} | {r['wall_speedup']} |")
-    with open(os.path.join(REPO, "BENCH", "STAGE_ATTRIBUTION.md"), "w") as f:
+    # Per-pair file so successive pairs (2->8 round 2, 8->32 round 3, ...)
+    # accumulate instead of clobbering each other; STAGE_ATTRIBUTION.md
+    # keeps the canonical 2->8 evidence pair for backlinks.
+    suffix = "" if (lo, hi) == (2, 8) else f"_{lo}_{hi}"
+    out_md = os.path.join(REPO, "BENCH", f"STAGE_ATTRIBUTION{suffix}.md")
+    with open(out_md, "w") as f:
         f.write("\n".join(md) + "\n")
 
     tot_cpu = {c: sum(s["cpu_time"] for s in results[c]["stages"]) for c in levels}
@@ -188,7 +193,7 @@ def main() -> None:
         "wall": {str(c): round(results[c]["head"]["wall"], 1) for c in levels},
         "total_cpu_s": {str(c): round(tot_cpu[c], 1) for c in levels},
         "cpu_inflation_total": round(tot_cpu[hi] / tot_cpu[lo], 3),
-        "out": "BENCH/STAGE_ATTRIBUTION.md",
+        "out": out_md,
     }))
 
 

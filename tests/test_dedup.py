@@ -293,3 +293,32 @@ def test_jaccard_max_df_frac_equals_absolute_max_df(spark):
                                max_df_frac=0.25)
     assert key(absolute) == key(frac)
     assert len(key(frac)) >= 1  # the yyab near-dup pair survives pruning
+
+
+def test_q43_plan_build_runs_no_scan_action(spark, sf01_dir):
+    """The q43 stop-gram threshold resolves INSIDE the plan: constructing the
+    DataFrame must not trigger a corpus-scan action (the round-2 form ran a
+    full d.count() — a task-per-partition job — at build time just to set
+    the pruning constant).  spark.read.parquet itself may launch a 1-task
+    footer/schema-inference job; that is metadata, not a scan, so the gate
+    is on total TASKS launched during build, not on job count."""
+    import __spark_entry__ as entrymod
+
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("q43lazy", "q43 build probe")
+    try:
+        df = entrymod.queries()["q43_ngram_jaccard"](spark, sf01_dir)
+    finally:
+        spark.sparkContext.setJobGroup("q43done", "")
+    built_jobs = tracker.getJobIdsForGroup("q43lazy")
+    tasks = 0
+    for jid in built_jobs:
+        jinfo = tracker.getJobInfo(jid)
+        for sid in (jinfo.stageIds if jinfo else []):
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo:
+                tasks += sinfo.numTasks
+    assert tasks <= 2, (
+        f"plan build launched a scan-sized action: jobs={sorted(built_jobs)} "
+        f"total_tasks={tasks}")
+    assert df.columns == ["id_a", "id_b", "jaccard"]
