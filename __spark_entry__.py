@@ -1559,7 +1559,7 @@ def oracle_sql() -> dict[str, str]:
             WITH grams AS (
                 SELECT doc_id,
                        ('0x' || substr(md5(unnest(list_distinct(list_transform(
-                           range(1, GREATEST(length(text) - 2, 1) + 1),
+                           range(1, GREATEST(length(lower(text)) - 2, 1) + 1),
                            i -> substr(lower(text), CAST(i AS INT), 3))))), 1, 15))::BIGINT AS h
                 FROM documents
             ),
