@@ -199,6 +199,68 @@ def compute_moments(df: DataFrame, vec_col) -> Moments:
     return acc
 
 
+def compute_moments_expr(df: DataFrame, vec_col, p: int | None = None) -> Moments:
+    """Whole-stage-codegen strategy: raw sums as JVM aggregate expressions.
+
+    No Python boundary at all — ``count``, ``sum(x_i)`` and the upper
+    triangle of ``sum(x_i * x_j)`` run inside Catalyst HashAggregate with
+    map-side partials (1 + p + p(p+1)/2 agg buffers), then the driver
+    recovers the centered moments:
+
+        mean = s / n
+        M2   = Q - n * outer(mean, mean)
+
+    Trade-off vs :func:`compute_moments` (Arrow partials + Chan merge):
+    raw sums lose the Chan update's cancellation protection, so this path
+    is for well-scaled features (the flagship's log1p-scaled raw_vec);
+    exactness vs the NumPy oracle at the 1e-8 gate is pinned in
+    tests/test_kernels.py.  Null semantics match the Arrow paths: rows with
+    a null vector (or any null element via the column-list form) are
+    dropped before accumulation.
+
+    ``vec_col``: array<double> column name (pass ``p`` to skip the one-row
+    dimension probe) or a list of scalar double column names.
+    """
+    if isinstance(vec_col, (list, tuple)):
+        cols = [F.col(c).cast("double") for c in vec_col]
+        src = df.select(*[c.alias(f"_x{i}") for i, c in enumerate(cols)])
+        cond = None
+        for i in range(len(cols)):
+            c = F.col(f"_x{i}").isNotNull()
+            cond = c if cond is None else (cond & c)
+        src = src.filter(cond)
+        xs = [F.col(f"_x{i}") for i in range(len(cols))]
+    else:
+        if p is None:
+            probe = df.select(F.size(F.col(vec_col)).alias("p")) \
+                      .filter("p >= 0").limit(1).collect()
+            if not probe:
+                return Moments(0, np.zeros(0), np.zeros((0, 0)))
+            p = int(probe[0]["p"])
+        src = df.select(F.col(vec_col).alias("_v")) \
+                .filter(F.col("_v").isNotNull())
+        xs = [F.col("_v")[i] for i in range(p)]
+
+    p = len(xs)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    aggs += [F.sum(xs[i]).alias(f"_s{i}") for i in range(p)]
+    aggs += [F.sum(xs[i] * xs[j]).alias(f"_q{i}_{j}")
+             for i in range(p) for j in range(i, p)]
+    row = src.agg(*aggs).collect()[0]
+
+    n = int(row["_n"])
+    if n == 0:
+        return Moments(0, np.zeros(p), np.zeros((p, p)))
+    s = np.array([row[f"_s{i}"] for i in range(p)], dtype=np.float64)
+    q = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            q[i, j] = q[j, i] = row[f"_q{i}_{j}"]
+    mean = s / n
+    m2 = q - n * np.outer(mean, mean)
+    return Moments(n, mean, m2)
+
+
 def compute_moments_tree(df: DataFrame, vec_col: str, depth: int = 2) -> Moments:
     """treeAggregate strategy: executor-side pairwise merge of partials.
 

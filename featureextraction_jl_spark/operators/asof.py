@@ -40,7 +40,8 @@ _MATCH_TS = "__asof_matched_ts"
 
 def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
                  left_ts: str, right_ts: str, right_cols: list[str],
-                 descending: bool, right_order: Sequence[str]) -> DataFrame:
+                 descending: bool, right_order: Sequence[str],
+                 left_order: Sequence[str] = ()) -> DataFrame:
     """Shared union+window sweep. descending=False -> backward as-of."""
     on = list(on)
     lhs = left.withColumn(_SIDE, F.lit(1))
@@ -54,8 +55,21 @@ def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     ts_key = F.col(left_ts).desc() if descending else F.col(left_ts).asc()
+    # ``left_order`` columns slot BETWEEN ts and the side tag so that the
+    # sweep's sort order (key, ts, left_order...) is a prefix superset of a
+    # downstream Window's (key, ts, left_order...) — Catalyst then elides
+    # the downstream Sort entirely (one sort per pass instead of two; the
+    # sorts are the bandwidth-bound stages at wide parallelism).  Right
+    # rows are missing every left_order column, so unionByName fills them
+    # with NULL and nulls-first keeps them sorting BEFORE left rows at
+    # equal ts — the inclusive-match invariant the side tag guarantees is
+    # preserved independently of left_order.
+    order = [ts_key]
+    for c in left_order:
+        order.append(F.col(c).desc_nulls_first() if descending
+                     else F.col(c).asc_nulls_first())
     # side=0 (right) sorts before side=1 (left) at equal ts => inclusive match.
-    order = [ts_key, F.col(_SIDE).asc()]
+    order.append(F.col(_SIDE).asc())
     for c in right_order:
         order.append(F.col(c).desc() if descending else F.col(c).asc())
     w = (
@@ -79,29 +93,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
               direction: str = "backward",
               tolerance_seconds: float | None = None,
               right_order: Sequence[str] = (),
+              left_order: Sequence[str] = (),
               keep_match_ts: bool = False) -> DataFrame:
     """Union-trick as-of join. One shuffle; no Python workers.
 
     ``direction``: backward | forward | nearest.
     ``tolerance_seconds``: unmatch rows whose |left.ts - matched ts| exceeds it.
+    ``left_order``: extra LEFT-side tie-break columns folded into the sweep's
+    sort between ts and the side tag.  Semantically free (see _union_sweep);
+    pass the ordering your downstream per-key Windows use — e.g.
+    ``("turn_idx",)`` when they order by ``(ts, turn_idx)`` — and their Sort
+    is elided because the sweep already delivered that order.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_cols = [c for c in right.columns if c not in on and c != right_ts]
     overlap = set(right_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    missing = [c for c in left_order if c in right.columns]
+    if missing:
+        raise ValueError(
+            f"left_order columns must not exist on the right side (they must "
+            f"union as NULL for right rows to keep sorting first): {missing}")
 
     if direction in ("backward", "forward"):
         out = _union_sweep(left, right, on, left_ts, right_ts, right_cols,
-                           descending=(direction == "forward"), right_order=right_order)
+                           descending=(direction == "forward"),
+                           right_order=right_order, left_order=left_order)
     elif direction == "nearest":
         back = _union_sweep(left, right, on, left_ts, right_ts, right_cols,
-                            descending=False, right_order=right_order)
+                            descending=False, right_order=right_order,
+                            left_order=left_order)
         bcols = {c: f"__b_{c}" for c in right_cols + [_MATCH_TS]}
         for c, a in bcols.items():
             back = back.withColumnRenamed(c, a)
         out = _union_sweep(back, right, on, left_ts, right_ts, right_cols,
-                           descending=True, right_order=right_order)
+                           descending=True, right_order=right_order,
+                           left_order=left_order)
         lt = epoch_seconds(left_ts)
         bgap = F.abs(lt - epoch_seconds(F.col(bcols[_MATCH_TS])))
         fgap = F.abs(lt - epoch_seconds(F.col(_MATCH_TS)))

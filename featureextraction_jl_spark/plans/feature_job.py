@@ -103,8 +103,13 @@ def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
     """
     df = transcripts.withColumn("char_len", F.length("text").cast("double"))
     if snapshots is not None:
+        # left_order=ORDER[1:]: fold turn_idx into the sweep's sort so the
+        # sessionize/lag/backfill windows' (ts, turn_idx) ordering is already
+        # delivered — Catalyst elides their Sort (one sort per pass, not two;
+        # pinned by test_flagship_plan_invariants).
         df = asof_join(df, snapshots, on="conv_id", left_ts="ts",
-                       right_ts="snapshot_ts", direction="backward")
+                       right_ts="snapshot_ts", direction="backward",
+                       left_order=tuple(ORDER[1:]))
         if "snap_score" in df.columns:
             df = df.drop("snap_score")
     else:

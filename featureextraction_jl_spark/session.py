@@ -67,6 +67,13 @@ ENGINE_CONFS: dict[str, str] = {
 WORKER_MALLOC_ENV = {
     "MALLOC_TRIM_THRESHOLD_": "-1",
     "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    # One BLAS thread per Python worker: N workers each spawning BLAS
+    # threads oversubscribes the host (this OpenBLAS build caps at 2, so
+    # the worst case is 2x — still worth pinning).  Every kernel GEMM here
+    # is small (Arrow batch x p<=64), where threading overhead loses anyway.
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
 }
 
 

@@ -68,6 +68,9 @@ def main() -> None:
     ap.add_argument("--mega", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_MEGA", "120000")))
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--no-md", action="store_true",
+                    help="print the JSON line only; leave BENCH/BASELINE.md "
+                         "untouched (extra evidence pairs are merged by hand)")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -87,6 +90,17 @@ def main() -> None:
             for n in LEVELS if 4 * n in thr}
     eff_2_8 = effs.get("2->8")
     eff_8_32 = effs.get("8->32")
+
+    if args.no_md:
+        print(json.dumps({
+            "metric": "flagship scaling efficiency (best N -> 4N pair)",
+            "value": next(iter(effs.values()), None), "unit": "ratio",
+            "efficiencies": effs,
+            "turns": n_turns,
+            "turns_per_sec": {str(c): thr[c] for c in LEVELS},
+            "samples": {str(c): samples[c] for c in LEVELS},
+        }))
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(

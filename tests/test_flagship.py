@@ -118,6 +118,13 @@ def test_flagship_plan_invariants(spark, data):
     assert n_exchanges <= 3, f"plan has {n_exchanges} Exchanges:\n{plan[:4000]}"
     assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
     assert "ArrowEvalPython" in plan, "projection should be Arrow-batched"
+    # ONE sort total: the as-of sweep's (key, ts, left_order, side) sort is
+    # the only one — sessionize/lag/backfill/assembly orderings are prefixes
+    # of it (asof_join left_order), so Catalyst elides their Sorts.  A second
+    # Sort here means a full re-sort of every turn per pass at scale.
+    import re
+    n_sorts = len(re.findall(r"\bSort \[", plan))
+    assert n_sorts <= 1, f"plan has {n_sorts} Sorts:\n{plan[:4000]}"
 
 
 def test_scan_pushdown_and_pruning(spark, sf01_dir):

@@ -75,6 +75,36 @@ def test_distributed_moments_both_strategies(spark):
         close(m.cov, oracle.cov(X))
 
 
+def test_moments_expr_strategy(spark):
+    """JVM-codegen raw-sum strategy equals the Chan-merge Arrow paths."""
+    from featureextraction_jl_spark.functions import compute_moments_expr
+
+    df = vec_df(spark, X)
+    for m in (compute_moments_expr(df, "vec"),            # dim-probe path
+              compute_moments_expr(df, "vec", p=X.shape[1])):
+        assert m.n == 400
+        close(m.mean, oracle.mean(X))
+        close(m.cov, oracle.cov(X))
+    # column-list form, with null rows dropped like the Arrow path
+    pdf = pd.DataFrame({f"c{i}": X[:, i] for i in range(X.shape[1])})
+    pdf.loc[3, "c0"] = None
+    cols_df = spark.createDataFrame(pdf).repartition(5)
+    m = compute_moments_expr(cols_df, [f"c{i}" for i in range(X.shape[1])])
+    kept = np.delete(X, [3], axis=0)
+    assert m.n == 399
+    close(m.mean, oracle.mean(kept))
+    close(m.cov, oracle.cov(kept))
+    # null array rows dropped
+    pdf2 = pd.DataFrame({"vec": list(X.astype(np.float64))})
+    pdf2.loc[5, "vec"] = None
+    null_df = spark.createDataFrame(pdf2).repartition(5)
+    m = compute_moments_expr(null_df, "vec")
+    kept2 = np.delete(X, [5], axis=0)
+    assert m.n == 399
+    close(m.mean, oracle.mean(kept2))
+    close(m.cov, oracle.cov(kept2))
+
+
 def test_grouped_moments(spark):
     pdf = pd.DataFrame({
         "g": ["a"] * 150 + ["b"] * 250,
