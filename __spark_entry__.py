@@ -782,8 +782,15 @@ def q43_ngram_jaccard(spark, sf):
     # finishes) vs 4.3e6 at 10% (seconds).  max_df_frac resolves the
     # threshold INSIDE the plan (count(1) aggregate broadcast onto the
     # per-gram DF frame) — no separate driver-side full-corpus count action.
+    # size_strategy="window": scan -> shingle -> explode runs ONCE (set
+    # sizes carried as count() over (partition by doc_id) on the gram frame)
+    # instead of a separate re-aggregating branch.  Interleaved-min A/B at
+    # sf0.1 (BENCH/q43_ab.json): window 8.48s vs persist 9.08s vs reagg
+    # 12.27s — the executed reagg plan showed NO ReusedExchange for the
+    # gram self-join, so the shingle chain really did run 3x.
     out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
-                              max_df_frac=Q43_MAX_DF_FRAC)
+                              max_df_frac=Q43_MAX_DF_FRAC,
+                              size_strategy="window")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -871,8 +878,11 @@ def q46_doc_fingerprint(spark, sf):
     distinct-substring count the near-dup family operates on.
     """
     d = _t(spark, sf, "documents")
+    # Gate AND positions both derive from length(lower(text)) (ADVICE r03:
+    # a char whose lowercase form changes string length, e.g. U+0130, would
+    # desynchronize the gram count if the gate read the raw length).
     n_shingles = F.when(
-        F.length("text") >= 5,
+        F.length(F.lower(F.col("text"))) >= 5,
         F.size(F.array_distinct(F.expr(
             "transform(sequence(1, length(lower(text)) - 4),"
             " i -> substring(lower(text), i, 5))")))
@@ -1617,11 +1627,14 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_md5
             FROM documents
         """,
+        # Gram positions and the >=5 gate derive from length(lower(text)),
+        # matching the engine exactly (ADVICE r03: raw length(text) here
+        # desynchronizes on chars whose lowercase form changes length).
         "q46_doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint,
-                   CAST(CASE WHEN length(text) >= 5 THEN
+                   CAST(CASE WHEN length(lower(text)) >= 5 THEN
                        len(list_distinct(list_transform(
-                           range(1, length(text) - 3),
+                           range(1, length(lower(text)) - 3),
                            i -> substr(lower(text), CAST(i AS INT), 5))))
                    ELSE 0 END AS BIGINT) AS n_shingles
             FROM documents

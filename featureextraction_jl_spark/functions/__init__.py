@@ -11,6 +11,7 @@ from featureextraction_jl_spark.functions.moments import (  # noqa: F401
     batch_moments,
     merge_moments,
     compute_moments,
+    compute_moments_bucketed,
     compute_moments_expr,
     compute_moments_tree,
     compute_grouped_moments,

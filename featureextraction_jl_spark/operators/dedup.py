@@ -174,7 +174,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         max_df: int | None = None,
-                        max_df_frac: float | None = None) -> DataFrame:
+                        max_df_frac: float | None = None,
+                        size_strategy: str = "reagg",
+                        persist_grams: bool = False) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share at least one n-gram.
 
     Inverted-index join on n-gram hash (|intersection| via groupBy count),
@@ -193,6 +195,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     of the corpus size, resolved INSIDE the plan (a count(1) aggregate
     cross-joined onto the tiny per-gram DF frame) — no separate driver-side
     ``df.count()`` action scanning the corpus twice just to set a constant.
+
+    ``size_strategy`` (VERDICT r03 #4 — the pruned gram frame feeds three
+    consumers, and the executed plan showed NO ReusedExchange for the gram
+    self-join, so with ``"reagg"`` the scan -> shingle -> explode chain
+    actually runs three times):
+
+    * ``"reagg"`` — separate ``groupBy(id)`` size branch.  Recomputes the
+      shingle chain (3x total), but every shuffle beyond the join's is
+      map-side-combined partial counts (tiny).
+    * ``"window"`` — carry ``count() over (partition by id)`` on the gram
+      frame itself, so scan -> shingle -> explode runs ONCE and the two
+      post-join size lookups disappear; costs one full gram-frame shuffle
+      by id before the g-join.  Measured A/B at sf0.1, interleaved min
+      (BENCH/q43_ab.json): window 8.48s vs persist 9.08s vs reagg 12.27s
+      — q43 uses this.  At design scale the extra by-id shuffle is the
+      same O(total grams) class as the g-shuffle the join pays anyway,
+      while reagg's saved shuffle buys two extra full scan+shingle passes.
+
+    ``persist_grams``: cache the pruned gram frame across its consumers
+    instead of recomputing (third A/B arm; storage O(total grams)).
     """
     grams = df.select(
         id_col,
@@ -211,18 +233,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 F.col("__nd") * F.lit(float(max_df_frac)))
                         .select("g"))
         grams = grams.join(F.broadcast(frequent), on="g", how="left_anti")
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, on="g")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if persist_grams:
+        grams = grams.persist()
+    if size_strategy == "window":
+        gsz = grams.withColumn(
+            "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        a, b = gsz.alias("a"), gsz.alias("b")
+        scored = (
+            a.join(b, on="g")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"),
+                 F.min("a.__sz").alias("sz_a"),   # constant per id
+                 F.min("b.__sz").alias("sz_b"))
+        )
+    elif size_strategy == "reagg":
+        sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a, b = grams.alias("a"), grams.alias("b")
+        inter = (
+            a.join(b, on="g")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        scored = inter.join(sa, "id_a").join(sb, "id_b")
+    else:
+        raise ValueError(f"size_strategy must be reagg|window, got {size_strategy!r}")
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        scored
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -308,9 +349,12 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     edges = pairs.select(F.col(left).alias("u"), F.col(right).alias("v")).union(
         pairs.select(F.col(right).alias("u"), F.col(left).alias("v")))
     edges = edges.localCheckpoint(eager=True)
+    # Eager like `edges` and the per-round checkpoints (VERDICT r03 #5):
+    # lazy here left round 1's first join dragging the full ids.distinct()
+    # lineage (source scan + distinct exchange re-run inside the round job).
     labels = ids.select(F.col(id_col).alias("u"),
                         F.col(id_col).alias("label")).distinct()
-    labels = labels.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=True)
     prev_sum = None
     converged = False
     for _ in range(max_iter):

@@ -7,7 +7,10 @@ scan -> char_len projection (text bytes never shuffle in the fit pass)
      -> sessionize -> lag/lead -> forward-fill      (same partitioner
         => sort-only, no extra shuffle)
      -> assemble numeric raw feature vector (pure JVM exprs)
-     -> global moment accumulation          [Arrow partials, tiny collect]
+     -> global moment accumulation          [Arrow partials: one row per
+        partition (in-worker Chan merge); auto-switches to the executor-side
+        bucketed reduce above 2048 partitions, so driver traffic is
+        O(buckets * p^2) at the 10^12-turn design point]
      -> driver-side PCA/whitening fit (p x p eigh) -> broadcast model
      -> Arrow-batched projection UDF -> features + byte-equal text passthrough
 

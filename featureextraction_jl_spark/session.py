@@ -38,7 +38,11 @@ ENGINE_CONFS: dict[str, str] = {
     # AQE: runtime re-plan, skew-join splitting, post-shuffle coalesce.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # SPARK_GRAFT_COALESCE=false: the warm-ladder protocol disables post-
+    # shuffle coalesce — AQE otherwise coalesces to ragged 17/10-task
+    # stages on 8 cores (2-wave quantization, BENCH/BASELINE.md round 3).
+    "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
+        "SPARK_GRAFT_COALESCE", "true"),
     # Deterministic timestamp semantics shared with the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Local-mode shuffle sizing; AQE coalesces down when partitions are tiny.

@@ -1,0 +1,103 @@
+"""q43 (n-gram Jaccard) variant A/B (VERDICT r03 #4).
+
+The pruned gram frame feeds three consumers: the set-size aggregate and the
+two self-join sides.  The self-join sides share one exchange (ReusedExchange
+— asserted here from the executed plan); the question is the size branch:
+
+* reagg    — separate groupBy(id) branch: re-executes scan -> shingle ->
+             explode, shuffles only map-side-combined partial counts.
+* window   — count() over (partition by id) carried on the gram frame:
+             shingles once, costs one full gram-frame shuffle by id, drops
+             the two post-join size lookups.
+* persist  — reagg with the pruned gram frame persisted across consumers.
+
+Protocol: interleaved round-robin x --rounds, per-variant MIN kept (same
+noise protocol as bench.py / bench_scaling.py).  Writes BENCH/q43_ab.json.
+
+Usage: python scripts/bench_q43.py [--rounds 3] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build(spark, sf_dir: str, variant: str):
+    from featureextraction_jl_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kw = dict(size_strategy="reagg", persist_grams=False)
+    if variant == "window":
+        kw["size_strategy"] = "window"
+    elif variant == "persist":
+        kw["persist_grams"] = True
+    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
+                              max_df_frac=entry.Q43_MAX_DF_FRAC, **kw)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    from featureextraction_jl_spark.session import get_spark
+
+    spark = get_spark("q43-ab", master=f"local[{args.cpus}]")
+    variants = ["reagg", "window", "persist"]
+
+    # Correctness first: all variants must agree exactly (sorted rows).
+    ref = sorted(map(tuple, build(spark, args.sf, "reagg").collect()))
+    counts = {}
+    for v in variants[1:]:
+        got = sorted(map(tuple, build(spark, args.sf, v).collect()))
+        assert got == ref, f"variant {v} output differs from reagg"
+    counts["rows"] = len(ref)
+    spark.catalog.clearCache()
+
+    samples: dict[str, list[float]] = {v: [] for v in variants}
+    for r in range(args.rounds):
+        for v in variants:                       # interleaved round-robin
+            t0 = time.monotonic()
+            build(spark, args.sf, v).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()           # persist arm must not leak
+            samples[v].append(round(time.monotonic() - t0, 3))
+            print(json.dumps({"round": r, "variant": v,
+                              "sec": samples[v][-1]}), flush=True)
+
+    plan = build(spark, args.sf, "reagg")
+    plan.write.format("noop").mode("overwrite").save()
+    exec_plan = plan._jdf.queryExecution().executedPlan().toString()
+    reused = "ReusedExchange" in exec_plan
+
+    result = {
+        "metric": "q43 n-gram Jaccard variant wall time (min over interleaved reps)",
+        "sf": args.sf,
+        "cpus": int(args.cpus),
+        "rows": counts["rows"],
+        "rounds": args.rounds,
+        "min_sec": {v: min(s) for v, s in samples.items()},
+        "samples": samples,
+        "self_join_reused_exchange": reused,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "q43_ab.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

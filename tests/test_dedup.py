@@ -56,6 +56,28 @@ def test_jaccard_pruning_noop_when_not_binding(spark, sf01_dir):
     assert key(base) == key(pruned)
 
 
+def test_jaccard_size_strategies_agree(spark):
+    """VERDICT r03 #4: the window size-carry variant (shingle chain runs
+    once) and the persisted-grams arm must reproduce the reagg reference
+    exactly — pruned and unpruned."""
+    rows = [(i, "xx" + format(i, "04d")) for i in range(20)]
+    rows += [(100, "yyabcd"), (101, "yyabcd"), (102, "yyabce"), (103, None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda df: {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+                      for r in df.collect()}
+    for kw in ({}, {"max_df": 5}):
+        ref = key(ngram_jaccard_pairs(d, "text", "doc_id", n=2,
+                                      threshold=0.01, **kw))
+        win = key(ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01,
+                                      size_strategy="window", **kw))
+        per = key(ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01,
+                                      persist_grams=True, **kw))
+        assert win == ref and per == ref
+    spark.catalog.clearCache()
+    with pytest.raises(ValueError, match="size_strategy"):
+        ngram_jaccard_pairs(d, size_strategy="nope")
+
+
 def test_jaccard_pruning_binds_on_hot_grams(spark):
     # "xx" appears in every doc (the hot gram); unique tails differentiate.
     rows = [(i, "xx" + format(i, "04d")) for i in range(20)]
@@ -157,6 +179,49 @@ def test_simhash_matches_numpy_oracle(spark):
         assert got[i] == oracle(t), f"doc {i} ({t!r})"
 
 
+def test_simhash_production_bits64_xxhash64_matches_oracle(spark):
+    """VERDICT r03 #6: pin the PRODUCTION parameters (bits=64, xxhash64
+    grams) on a planted corpus — the one-pass rewrite was value-verified
+    only at the portable bits=16 setting before.  Gram hashes are read back
+    from Spark's own shingle_hashes (xxhash64 is a Spark built-in); what the
+    Python oracle verifies independently is the per-bit conditional-SUM
+    voting and the fingerprint assembly across all 64 bits, including the
+    bit-63 shiftleft that lands on Long.MIN (sign-sensitive)."""
+    import random
+
+    from featureextraction_jl_spark.operators.dedup import shingle_hashes
+
+    rnd = random.Random(1234)
+    words = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rnd.choices(words, k=rnd.randrange(0, 30)))
+             for _ in range(200)]
+    texts += [texts[0], texts[1] + " tail", "ab", ""]   # dup, near-dup, short, empty
+    d = spark.createDataFrame(list(enumerate(texts)),
+                              "doc_id long, text string").repartition(7)
+
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(d, "text", "doc_id", bits=64, n=3).collect()}
+    grams = {r["doc_id"]: r["h"]
+             for r in d.select("doc_id",
+                               shingle_hashes("text", 3).alias("h")).collect()}
+
+    def oracle64(hashes: list[int]) -> int:
+        hs = list(dict.fromkeys(hashes))   # engine array_distinct
+        fp = 0
+        for b in range(64):
+            # Python's >> on negative ints is arithmetic, like Spark's
+            # shiftright on long — bit extraction matches exactly.
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                fp |= 1 << b
+        return fp - (1 << 64) if fp >= (1 << 63) else fp   # to signed long
+
+    assert any(oracle64(grams[i]) < 0 for i in range(len(texts))), \
+        "corpus must exercise the bit-63 / Long.MIN assembly path"
+    for i in range(len(texts)):
+        assert got[i] == oracle64(grams[i]), f"doc {i}"
+
+
 def test_simhash_near_texts_have_close_fingerprints(spark):
     d = spark.createDataFrame(
         [(0, "the quick brown fox jumps over the lazy dog"),
@@ -238,11 +303,24 @@ def test_connected_components_caches_edges_upstream_once(spark):
         yield from batches
 
     pairs = base.mapInPandas(mark, base.schema)
-    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+
+    # ids is likewise eagerly checkpointed at entry (VERDICT r03 #5): its
+    # upstream (source -> distinct) must run exactly once, in the checkpoint
+    # job, not again inside round 1's first join.
+    acc_ids = spark.sparkContext.accumulator(0)
+    ids_base = spark.createDataFrame(
+        [(i,) for i in range(5)], "doc_id long").coalesce(1)
+
+    def mark_ids(batches):
+        acc_ids.add(1)
+        yield from batches
+
+    ids = ids_base.mapInPandas(mark_ids, ids_base.schema)
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(pairs, ids, "doc_id").collect()}
     assert got == {i: 0 for i in range(5)}
     assert acc.value == 2, f"upstream evaluated {acc.value}x (expected 2: one checkpoint job, union reads source twice)"
+    assert acc_ids.value == 1, f"ids evaluated {acc_ids.value}x (expected 1: the eager labels checkpoint job)"
 
 
 def test_connected_components_raises_when_unconverged(spark):

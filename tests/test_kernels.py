@@ -105,6 +105,67 @@ def test_moments_expr_strategy(spark):
     close(m.cov, oracle.cov(kept2))
 
 
+def test_moments_bucketed_and_auto(spark):
+    """Executor-side two-level reduce (VERDICT r03 #1) equals the oracle for
+    every bucket count and both input forms; merge='auto' stays green."""
+    from featureextraction_jl_spark.functions import compute_moments_bucketed
+
+    df = vec_df(spark, X)
+    for m in (compute_moments_bucketed(df, "vec"),
+              compute_moments_bucketed(df, "vec", buckets=3),
+              compute_moments(df, "vec", merge="bucketed"),
+              compute_moments(df, "vec", merge="auto")):
+        assert m.n == 400
+        close(m.mean, oracle.mean(X))
+        close(m.cov, oracle.cov(X))
+    # column-list (fully columnar) form through the bucketed reduce
+    pdf = pd.DataFrame({f"c{i}": X[:, i] for i in range(X.shape[1])})
+    cols_df = spark.createDataFrame(pdf).repartition(5)
+    m = compute_moments(cols_df, [f"c{i}" for i in range(X.shape[1])],
+                        merge="bucketed")
+    assert m.n == 400
+    close(m.mean, oracle.mean(X))
+    close(m.cov, oracle.cov(X))
+    with pytest.raises(ValueError, match="merge must be"):
+        compute_moments(df, "vec", merge="nope")
+
+
+def test_moments_partials_one_row_per_partition(spark):
+    """In-worker Chan merge: the partial frame emits ONE row per non-empty
+    partition even when Arrow splits each partition into many batches —
+    driver/reduce traffic is O(partitions), not O(batches) (VERDICT r03 #1:
+    per-batch partials were ~500 GB of driver traffic at design scale)."""
+    from featureextraction_jl_spark.functions.moments import _partials_df
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")          # 400 rows / 5 partitions -> 5 batches each
+    try:
+        df = vec_df(spark, X)
+        assert _partials_df(df, "vec").count() == 5
+        m = compute_moments(df, "vec")   # still exact under batch splitting
+        assert m.n == 400
+        close(m.cov, oracle.cov(X))
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_moments_expr_array_null_element_and_ragged(spark):
+    """ADVICE r03: the expr strategy's array form must drop rows with a null
+    element or the wrong length (count/sum buffers stay consistent)."""
+    from featureextraction_jl_spark.functions import compute_moments_expr
+
+    rows = [(r.tolist(),) for r in X]
+    rows[7] = ([1.0, None, 2.0, 3.0, 4.0, 5.0],)   # null element
+    rows[9] = ([1.0, 2.0],)                          # ragged (size 2, p=6)
+    df = spark.createDataFrame(rows, "vec array<double>").repartition(5)
+    m = compute_moments_expr(df, "vec", p=X.shape[1])
+    kept = np.delete(X, [7, 9], axis=0)
+    assert m.n == 398
+    close(m.mean, oracle.mean(kept))
+    close(m.cov, oracle.cov(kept))
+
+
 def test_grouped_moments(spark):
     pdf = pd.DataFrame({
         "g": ["a"] * 150 + ["b"] * 250,
