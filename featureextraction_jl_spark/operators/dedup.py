@@ -133,7 +133,8 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, k: int = 5,
-                      portable: bool = False) -> DataFrame:
+                      portable: bool = False,
+                      cache_banded: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     signature -> ``bands`` bands of r = num_hashes/bands rows; documents
@@ -145,6 +146,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``portable=True``: gram hashes via md5 and the band key as the
     comma-joined signature slice (a string) instead of xxhash64 — both
     reproducible in DuckDB, making the full candidate set oracle-checkable.
+
+    ``cache_banded=True``: persist the banded frame across the two self-join
+    sides.  Same question as q43's size branch (VERDICT r03 #4): if the
+    self-join does not reuse one exchange, the whole shingle -> signature
+    -> banding pipeline (the expensive part) executes once per side.
+    A/B-measured by scripts/bench_q41.py; see BENCH/q41_ab.json.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -160,6 +167,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "band_hash"),
     )
+    if cache_banded:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -197,9 +206,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``df.count()`` action scanning the corpus twice just to set a constant.
 
     ``size_strategy`` (VERDICT r03 #4 — the pruned gram frame feeds three
-    consumers, and the executed plan showed NO ReusedExchange for the gram
-    self-join, so with ``"reagg"`` the scan -> shingle -> explode chain
-    actually runs three times):
+    consumers.  Accumulator probe, 4-partition source: ``"reagg"``
+    evaluates the source 16/4 = 4 times (three shingle->explode passes —
+    sizes, join side a, join side b — plus the ndocs count) while
+    ``"window"`` evaluates it 12/4 = 3 times with the self-join sides
+    reusing the windowed exchange):
 
     * ``"reagg"`` — separate ``groupBy(id)`` size branch.  Recomputes the
       shingle chain (3x total), but every shuffle beyond the join's is

@@ -252,6 +252,21 @@ def test_minhash_identical_docs_always_collide(spark):
         assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_minhash_cache_banded_equivalence(spark):
+    """cache_banded persists the banded frame across the two self-join
+    sides (see scripts/bench_q41.py for the recompute A/B); the candidate
+    pair set must be identical."""
+    d = spark.createDataFrame(
+        [(i, ("dup text body shared " if i % 3 == 0 else f"unique {i} ") * 3)
+         for i in range(30)], "doc_id long, text string")
+    base = _pairs(minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16,
+                                    bands=4, k=4))
+    cached = _pairs(minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16,
+                                      bands=4, k=4, cache_banded=True))
+    spark.catalog.clearCache()
+    assert base == cached and len(base) >= 1
+
+
 def test_minhash_signature_deterministic(spark):
     d = spark.createDataFrame([(0, "alpha beta gamma delta")],
                               "doc_id long, text string")

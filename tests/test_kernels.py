@@ -130,6 +130,30 @@ def test_moments_bucketed_and_auto(spark):
         compute_moments(df, "vec", merge="nope")
 
 
+def test_moments_auto_switch_routes_to_bucketed(spark, monkeypatch):
+    """merge='auto' must route through the executor-side bucketed reduce
+    once the source partition count exceeds the threshold (the design-scale
+    path); below it, the driver merge is chosen.  Threshold lowered via
+    monkeypatch so the test doesn't need 2048 real partitions."""
+    import featureextraction_jl_spark.functions.moments as M
+
+    calls = {"bucketed": 0}
+    real = M.compute_moments_bucketed
+
+    def spy(df, vec_col, buckets=64):
+        calls["bucketed"] += 1
+        return real(df, vec_col, buckets)
+
+    monkeypatch.setattr(M, "compute_moments_bucketed", spy)
+    df = vec_df(spark, X)                      # 5 partitions
+    monkeypatch.setattr(M, "_BUCKETED_THRESHOLD", 4)
+    m = M.compute_moments(df, "vec", merge="auto")
+    assert calls["bucketed"] == 1 and m.n == 400
+    monkeypatch.setattr(M, "_BUCKETED_THRESHOLD", 2048)
+    m = M.compute_moments(df, "vec", merge="auto")
+    assert calls["bucketed"] == 1 and m.n == 400   # driver path, no new call
+
+
 def test_moments_partials_one_row_per_partition(spark):
     """In-worker Chan merge: the partial frame emits ONE row per non-empty
     partition even when Arrow splits each partition into many batches —
