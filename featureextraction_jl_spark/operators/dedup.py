@@ -437,7 +437,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
       id pairs, dedup-ed BEFORE vectors are touched;
     * ``max_bucket`` drops degenerate buckets (e.g. all-zeros embeddings)
       above that width — the cap that keeps the within-bucket join from
-      going quadratic on pathological data;
+      going quadratic on pathological data.  The width is carried as
+      ``count() over (partition by table, bucket)`` on the tagged frame
+      itself (the q43 window trick): an accumulator probe showed the
+      earlier groupBy + broadcast-anti-join form re-executed the whole
+      GEMM bucket chain once more (12 vs 8 source evals on a 4-partition
+      probe), and the window's hash(table, bucket) exchange is exactly
+      the partitioning the self-join needs, so the cap now costs zero
+      extra passes;
     * exact cosine only for distinct candidate pairs, vectors re-joined by
       id (broadcast-able when candidates are few).
     """
@@ -462,11 +469,11 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         F.posexplode(_buckets(v)).alias("tbl", "bucket"),
     )
     if max_bucket is not None:
-        wide = (tagged.groupBy("tbl", "bucket")
-                .agg(F.count(F.lit(1)).alias("__w"))
-                .filter(F.col("__w") > max_bucket)
-                .select("tbl", "bucket"))
-        tagged = tagged.join(F.broadcast(wide), on=["tbl", "bucket"], how="left_anti")
+        wb = Window.partitionBy("tbl", "bucket")
+        tagged = (tagged
+                  .withColumn("__w", F.count(F.lit(1)).over(wb))
+                  .filter(F.col("__w") <= max_bucket)
+                  .drop("__w"))
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (
         a.join(b, on=["tbl", "bucket"])
