@@ -56,6 +56,39 @@ def test_merge_invariance_arbitrary_splits():
         close(acc.cov, oracle.cov(X))
 
 
+def test_merge_property_random_splits_and_magnitudes():
+    """Property-based Chan-merge gate (hypothesis): arbitrary split points,
+    row counts, dimensions, and value magnitudes (1e-3..1e6 scale mix) —
+    merged moments must equal the single-batch computation within the
+    engine's allclose gate.  Pure NumPy, no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(min_value=3, max_value=120),
+        p=st.integers(min_value=1, max_value=8),
+        scale=st.sampled_from([1e-3, 1.0, 1e3, 1e6]),
+        shift=st.floats(min_value=-1e4, max_value=1e4),
+        seed=st.integers(min_value=0, max_value=2**16),
+        n_cuts=st.integers(min_value=0, max_value=5),
+    )
+    def check(n, p, scale, shift, seed, n_cuts):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(n, p)) * scale + shift
+        cuts = sorted(rng.integers(0, n + 1, size=n_cuts).tolist())
+        acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+        for part in np.split(x, cuts):
+            acc = merge_moments(acc, batch_moments(part))
+        ref = batch_moments(x)
+        assert acc.n == ref.n == n
+        np.testing.assert_allclose(acc.mean, ref.mean, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(acc.cov, ref.cov, rtol=1e-7,
+                                   atol=1e-9 * scale * scale)
+
+    check()
+
+
 def test_merge_permutation_invariance():
     parts = np.split(X, [100, 250])
     a = batch_moments(parts[0])
