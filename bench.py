@@ -106,6 +106,8 @@ def main() -> None:
     # MIN — the least-contended sample, the standard estimator under
     # one-sided noise.  All samples are emitted for the record.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    if reps < 1:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_REPS must be >= 1, got {reps}")
 
     spark = get_spark("fe-bench", master=f"local[{cpus}]")
     tdir, sdir = ensure_fixture(spark)

@@ -206,23 +206,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``df.count()`` action scanning the corpus twice just to set a constant.
 
     ``size_strategy`` (VERDICT r03 #4 — the pruned gram frame feeds three
-    consumers.  Accumulator probe, 4-partition source: ``"reagg"``
-    evaluates the source 16/4 = 4 times (three shingle->explode passes —
-    sizes, join side a, join side b — plus the ndocs count) while
-    ``"window"`` evaluates it 12/4 = 3 times with the self-join sides
-    reusing the windowed exchange):
+    consumers.  Regenerated evidence, BENCH/q43_ab.json: the finalized AQE
+    plan reuses ONE exchange across the self-join sides under BOTH
+    strategies — an earlier "no reuse" reading came from inspecting a
+    never-executed QueryExecution and is retracted.  Accumulator probe on
+    a 4-partition source: ``"reagg"`` evaluates it 8/4 = 2 full passes
+    (the sizes branch re-runs scan -> shingle -> explode; the join sides
+    share the reused exchange) vs ``"window"`` 4/4 = 1 pass):
 
-    * ``"reagg"`` — separate ``groupBy(id)`` size branch.  Recomputes the
-      shingle chain (3x total), but every shuffle beyond the join's is
+    * ``"reagg"`` — separate ``groupBy(id)`` size branch.  Pays one extra
+      full scan+shingle pass, but every shuffle beyond the join's is
       map-side-combined partial counts (tiny).
     * ``"window"`` — carry ``count() over (partition by id)`` on the gram
       frame itself, so scan -> shingle -> explode runs ONCE and the two
       post-join size lookups disappear; costs one full gram-frame shuffle
       by id before the g-join.  Measured A/B at sf0.1, interleaved min
-      (BENCH/q43_ab.json): window 8.48s vs persist 9.08s vs reagg 12.27s
+      (BENCH/q43_ab.json): window 8.15s vs persist 8.24s vs reagg 11.17s
       — q43 uses this.  At design scale the extra by-id shuffle is the
       same O(total grams) class as the g-shuffle the join pays anyway,
-      while reagg's saved shuffle buys two extra full scan+shingle passes.
+      while reagg's saved shuffle buys an extra full scan+shingle pass.
 
     ``persist_grams``: cache the pruned gram frame across its consumers
     instead of recomputing (third A/B arm; storage O(total grams)).
@@ -420,6 +422,7 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              threshold: float = 0.95,
                              n_planes: int = 8, n_tables: int = 8,
                              max_bucket: int | None = None,
+                             cap_strategy: str = "window",
                              seed: int = 7) -> DataFrame:
     """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
 
@@ -437,14 +440,31 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
       id pairs, dedup-ed BEFORE vectors are touched;
     * ``max_bucket`` drops degenerate buckets (e.g. all-zeros embeddings)
       above that width — the cap that keeps the within-bucket join from
-      going quadratic on pathological data.  The width is carried as
-      ``count() over (partition by table, bucket)`` on the tagged frame
-      itself (the q43 window trick): an accumulator probe showed the
-      earlier groupBy + broadcast-anti-join form re-executed the whole
-      GEMM bucket chain once more (12 vs 8 source evals on a 4-partition
-      probe), and the window's hash(table, bucket) exchange is exactly
-      the partitioning the self-join needs, so the cap now costs zero
-      extra passes;
+      going quadratic on pathological data.  ``cap_strategy`` picks how,
+      and the two differ exactly on the adversarial input the cap guards:
+
+      - ``"window"`` — width carried as ``count() over (partition by
+        table, bucket)`` on the tagged frame itself (the q43 trick).  ONE
+        upstream GEMM pass (an accumulator probe showed the anti-join form
+        re-executes it: 12 vs 8 source evals on a 4-partition probe), and
+        the window's hash(table, bucket) exchange is the partitioning the
+        self-join needs.  BUT the pathological bucket's rows all reach one
+        WindowExec task and are sorted/buffered there before the filter
+        drops them: at 1e8 colliding rows that is a ~2.4 GB single-task
+        sort-spill straggler; at 1e10 it is the job.
+      - ``"broadcast"`` — groupBy(table, bucket) count (map-side combine
+        collapses the mega-bucket to one row per map task; the shuffle
+        moves only counts), filter > max_bucket (wide buckets are rare by
+        construction, so the list broadcasts), broadcast ANTI-join drops
+        pathological rows map-side BEFORE any full shuffle sees them.
+        Skew-proof, at the price of one extra evaluation of the upstream
+        scan+GEMM chain (the count branch).
+
+      Default ``"window"``: re-scanning a 100 TB embedding table costs
+      more than a bounded straggler, and ``n_planes`` is sized so buckets
+      stay bounded on sane data.  Choose ``"broadcast"`` when pathological
+      mass is unknown/unbounded, or the upstream is cheap or cached.
+      Identical output either way (tests/test_dedup.py pins both);
     * exact cosine only for distinct candidate pairs, vectors re-joined by
       id (broadcast-able when candidates are few).
     """
@@ -469,11 +489,22 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         F.posexplode(_buckets(v)).alias("tbl", "bucket"),
     )
     if max_bucket is not None:
-        wb = Window.partitionBy("tbl", "bucket")
-        tagged = (tagged
-                  .withColumn("__w", F.count(F.lit(1)).over(wb))
-                  .filter(F.col("__w") <= max_bucket)
-                  .drop("__w"))
+        if cap_strategy == "window":
+            wb = Window.partitionBy("tbl", "bucket")
+            tagged = (tagged
+                      .withColumn("__w", F.count(F.lit(1)).over(wb))
+                      .filter(F.col("__w") <= max_bucket)
+                      .drop("__w"))
+        elif cap_strategy == "broadcast":
+            wide = (tagged.groupBy("tbl", "bucket")
+                    .agg(F.count(F.lit(1)).alias("__w"))
+                    .filter(F.col("__w") > max_bucket)
+                    .select("tbl", "bucket"))
+            tagged = tagged.join(F.broadcast(wide),
+                                 on=["tbl", "bucket"], how="left_anti")
+        else:
+            raise ValueError(
+                f"cap_strategy must be window|broadcast, got {cap_strategy!r}")
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (
         a.join(b, on=["tbl", "bucket"])

@@ -38,15 +38,8 @@ ENGINE_CONFS: dict[str, str] = {
     # AQE: runtime re-plan, skew-join splitting, post-shuffle coalesce.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # SPARK_GRAFT_COALESCE=false: the warm-ladder protocol disables post-
-    # shuffle coalesce — AQE otherwise coalesces to ragged 17/10-task
-    # stages on 8 cores (2-wave quantization, BENCH/BASELINE.md round 3).
-    "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
-        "SPARK_GRAFT_COALESCE", "true"),
     # Deterministic timestamp semantics shared with the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
-    # Local-mode shuffle sizing; AQE coalesces down when partitions are tiny.
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # Keep executor-side Python workers reusable (Arrow socket reuse).
     "spark.python.worker.reuse": "true",
     "spark.ui.enabled": "false",
@@ -81,6 +74,25 @@ WORKER_MALLOC_ENV = {
 }
 
 
+def _dynamic_confs() -> dict[str, str]:
+    """Env-dependent confs, read at session-BUILD time, not import time —
+    a harness that imports this module and only then sets the env var
+    (in-process warm ladder, pytest) must still see it take effect.
+
+    * SPARK_GRAFT_COALESCE=false — the warm-ladder protocol disables AQE
+      post-shuffle coalesce: it otherwise coalesces to ragged 17/10-task
+      stages on 8 cores (2-wave quantization, BENCH/BASELINE.md round 3).
+    * SPARK_GRAFT_SHUFFLE — local-mode shuffle sizing; AQE coalesces down
+      when partitions are tiny.
+    """
+    return {
+        "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
+            "SPARK_GRAFT_COALESCE", "true"),
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE", "32"),
+    }
+
+
 def get_spark(app_name: str = "featureextraction_jl_spark",
               master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
@@ -96,7 +108,7 @@ def get_spark(app_name: str = "featureextraction_jl_spark",
     for k, v in WORKER_MALLOC_ENV.items():
         os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in ENGINE_CONFS.items():
+    for k, v in {**ENGINE_CONFS, **_dynamic_confs()}.items():
         builder = builder.config(k, v)
     for k, v in WORKER_MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

@@ -1,10 +1,12 @@
 """q41 (MinHash+LSH) banded-frame reuse A/B (follow-up to VERDICT r03 #4).
 
 The banded frame feeds BOTH sides of the candidate self-join.  If the plan
-does not reuse one exchange across the sides, the whole shingle -> 32-way
-min-aggregate signature -> banding pipeline executes once per side — the
-same recompute class the q43 A/B found (scripts/bench_q43.py: no exchange
-reuse in the executed self-join plan).
+did not reuse one exchange across the sides, the whole shingle -> 32-way
+min-aggregate signature -> banding pipeline would execute once per side.
+Measured (upstream_partition_evals): it DOES reuse — 4 evals on the
+4-partition probe = one pass, cached or not — matching q43's regenerated
+post-execution probe (scripts/bench_q43.py), so cache_banded stays off by
+default.
 
 Arms, run over the q41 registry parameters (portable md5 hashing, the
 oracle-mandated path) AND the production xxhash64 path:
@@ -96,8 +98,10 @@ def main() -> None:
             t0 = time.monotonic()
             build(spark, args.sf, portable, cache) \
                 .write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
             samples[name].append(round(time.monotonic() - t0, 3))
+            # Outside the timed window: charging cache teardown to the
+            # persist arms alone would bias the A/B one-sidedly.
+            spark.catalog.clearCache()
             print(json.dumps({"round": r, "arm": name,
                               "sec": samples[name][-1]}), flush=True)
 

@@ -1,8 +1,12 @@
 """q43 (n-gram Jaccard) variant A/B (VERDICT r03 #4).
 
 The pruned gram frame feeds three consumers: the set-size aggregate and the
-two self-join sides.  The self-join sides share one exchange (ReusedExchange
-— asserted here from the executed plan); the question is the size branch:
+two self-join sides.  Whether the executed plan reuses one exchange across
+the self-join sides is probed from the POST-EXECUTION adaptive plan (a
+``collect()`` on the same DataFrame object, so ``executedPlan`` reflects the
+finalized AQE plan, not the never-run initial one); an accumulator probe
+counts upstream source evaluations per variant.  The question is the size
+branch:
 
 * reagg    — separate groupBy(id) branch: re-executes scan -> shingle ->
              explode, shuffles only map-side-combined partial counts.
@@ -46,6 +50,33 @@ def build(spark, sf_dir: str, variant: str):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def count_upstream_evals(spark) -> dict[str, int]:
+    """Accumulator probe on a tiny synthetic corpus: how many times does the
+    source execute under each variant?  (partitions=4, so 4 evals per pass —
+    same probe as scripts/bench_q41.py, kept here so a rerun regenerates
+    every field of BENCH/q43_ab.json.)"""
+    from featureextraction_jl_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {}
+    rows = [(i, "xx" + format(i, "05d") * 2) for i in range(500)]
+    base = spark.createDataFrame(rows, "doc_id long, text string").coalesce(4)
+    for variant in ("reagg", "window", "persist"):
+        acc = spark.sparkContext.accumulator(0)
+
+        def mark(batches):
+            acc.add(1)
+            yield from batches
+
+        d = base.mapInPandas(mark, base.schema)
+        ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1,
+                            size_strategy="window" if variant == "window" else "reagg",
+                            persist_grams=variant == "persist") \
+            .write.format("noop").mode("overwrite").save()
+        out[variant] = acc.value
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
@@ -73,15 +104,23 @@ def main() -> None:
         for v in variants:                       # interleaved round-robin
             t0 = time.monotonic()
             build(spark, args.sf, v).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()           # persist arm must not leak
             samples[v].append(round(time.monotonic() - t0, 3))
+            # Outside the timed window: charging cache teardown to the
+            # persist arm alone would bias the very A/B this script decides.
+            spark.catalog.clearCache()
             print(json.dumps({"round": r, "variant": v,
                               "sec": samples[v][-1]}), flush=True)
 
-    plan = build(spark, args.sf, "reagg")
-    plan.write.format("noop").mode("overwrite").save()
-    exec_plan = plan._jdf.queryExecution().executedPlan().toString()
-    reused = "ReusedExchange" in exec_plan
+    # Executed-plan probe: collect() runs THIS DataFrame's QueryExecution
+    # (a noop write spawns its own), so executedPlan() below is the
+    # finalized adaptive plan that actually ran, exchange reuse included.
+    reused = {}
+    for v in variants:
+        plan = build(spark, args.sf, v)
+        plan.collect()
+        reused[v] = "ReusedExchange" in \
+            plan._jdf.queryExecution().executedPlan().toString()
+        spark.catalog.clearCache()
 
     result = {
         "metric": "q43 n-gram Jaccard variant wall time (min over interleaved reps)",
@@ -91,7 +130,12 @@ def main() -> None:
         "rounds": args.rounds,
         "min_sec": {v: min(s) for v, s in samples.items()},
         "samples": samples,
-        "self_join_reused_exchange": reused,
+        "executed_plan_reused_exchange": reused,
+        "upstream_partition_evals": count_upstream_evals(spark),
+        "interpretation": "upstream_partition_evals / 4 = full passes over "
+                          "the 4-partition probe source per variant; "
+                          "executed_plan_reused_exchange is read from the "
+                          "post-execution finalized AQE plan",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "q43_ab.json"), "w") as f:

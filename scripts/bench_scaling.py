@@ -76,7 +76,8 @@ def run_once(cpus: int, convs: int, mega: int, reps: int = 1,
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def run_warm(cpus: int, convs: int, mega: int, reps: int) -> tuple[float, list[float]]:
+def run_warm(cpus: int, convs: int, mega: int,
+             reps: int) -> tuple[float, list[float], int]:
     """One warm-session sample: ``reps`` flagship runs in ONE JVM, AQE
     post-shuffle coalesce off, rep 0 (the ~20 s fresh-JVM warmup: Python
     worker spawn + codegen JIT) dropped, best of the warm reps kept.
@@ -86,10 +87,15 @@ def run_warm(cpus: int, convs: int, mega: int, reps: int) -> tuple[float, list[f
     session, and wave quantization from AQE coalesce is a local[8]
     artifact, not an engine property.
     """
+    if reps < 2:
+        raise SystemExit(
+            f"--warm-reps must be >= 2 (got {reps}): rep 0 is dropped as "
+            "JVM warmup, so a 1-rep 'warm' sample would silently report the "
+            "cold warmup rep under the warm header")
     rec = run_once(cpus, convs, mega, reps=reps, coalesce=False)
     walls = rec["samples"]["flagship_feature_job"]
-    best_warm = min(walls[1:]) if len(walls) > 1 else walls[0]
-    return rec["flagship_turns"] / best_warm, walls
+    best_warm = min(walls[1:])
+    return rec["flagship_turns"] / best_warm, walls, rec["flagship_turns"]
 
 
 def _effs(thr: dict[int, float], levels) -> dict[str, float]:
@@ -135,11 +141,11 @@ def main() -> None:
     if not args.skip_warm:
         for r in range(args.warm_rounds):
             for c in LEVELS:                  # interleaved across levels too
-                thr_w, walls = run_warm(c, args.convs, args.mega, args.warm_reps)
+                thr_w, walls, turns = run_warm(c, args.convs, args.mega,
+                                               args.warm_reps)
                 warm_samples[c].append(round(thr_w, 1))
                 warm_walls[c].append(walls)
-                if n_turns is None:
-                    n_turns = int(thr_w * min(walls[1:] or walls))
+                n_turns = turns
                 print(json.dumps({"mode": "warm", "round": r, "cpus": c,
                                   "turns_per_sec": round(thr_w, 1),
                                   "walls": walls}), flush=True)
@@ -149,9 +155,15 @@ def main() -> None:
     effs = _effs(thr, LEVELS)
     weffs = _effs(wthr, LEVELS)
 
+    # Headline value: the documented gate pair (2->8) from the warm ladder
+    # when measured, else the best available pair — NOT insertion order
+    # (LEVELS starts at 1, so next(iter(...)) would report 1->4).
+    head = weffs or effs
     payload = {
-        "metric": "flagship scaling efficiency (best N -> 4N pair)",
-        "value": next(iter((weffs or effs).values()), None), "unit": "ratio",
+        "metric": "flagship scaling efficiency (gate pair 2->8, warm "
+                  "preferred; best pair if 2->8 not measured)",
+        "value": head.get("2->8", max(head.values(), default=None)),
+        "unit": "ratio",
         "efficiencies_cold": effs,
         "efficiencies_warm": weffs,
         "turns": n_turns,

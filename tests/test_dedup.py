@@ -141,11 +141,37 @@ def test_ann_bucket_cap_drops_degenerate_buckets(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     uncapped = embedding_near_dup_pairs(df, "embedding", "vec_id",
                                         threshold=0.5, n_planes=4, n_tables=2)
-    capped = embedding_near_dup_pairs(df, "embedding", "vec_id",
-                                      threshold=0.5, n_planes=4, n_tables=2,
-                                      max_bucket=10)
     assert len(_pairs(uncapped)) == 50 * 49 // 2
-    assert len(_pairs(capped)) == 0  # every bucket wider than the cap
+    # Both cap strategies implement the same semantics: "window" (one
+    # upstream pass, pathological bucket buffered in one window task) and
+    # "broadcast" (map-side anti-join drop, extra upstream pass) — the
+    # design-scale tradeoff is in the docstring; outputs must be identical.
+    for strategy in ("window", "broadcast"):
+        capped = embedding_near_dup_pairs(df, "embedding", "vec_id",
+                                          threshold=0.5, n_planes=4,
+                                          n_tables=2, max_bucket=10,
+                                          cap_strategy=strategy)
+        assert len(_pairs(capped)) == 0, strategy  # every bucket wider than cap
+    with pytest.raises(ValueError, match="cap_strategy"):
+        embedding_near_dup_pairs(df, "embedding", "vec_id", max_bucket=10,
+                                 cap_strategy="nope").collect()
+    # Mixed corpus — a mega-bucket that trips the cap PLUS small planted
+    # pairs that survive it: the two strategies must emit the same pair set.
+    planted = []
+    for j in range(5):
+        b = rng.normal(size=16) * (1 + j)
+        for k in range(2):
+            planted.append((100 + 2 * j + k,
+                            [float(x) for x in b + rng.normal(scale=1e-3, size=16)]))
+    mixed = spark.createDataFrame(rows + planted,
+                                  "vec_id long, embedding array<double>")
+    got = {}
+    for strategy in ("window", "broadcast"):
+        got[strategy] = _pairs(embedding_near_dup_pairs(
+            mixed, "embedding", "vec_id", threshold=0.5, n_planes=4,
+            n_tables=2, max_bucket=10, cap_strategy=strategy))
+    assert got["window"] == got["broadcast"]
+    assert len(got["window"]) >= 5  # the planted small-bucket pairs survive
 
 
 # ---------------------------------------------------------------------------
