@@ -785,11 +785,11 @@ def q43_ngram_jaccard(spark, sf):
     # size_strategy="window": scan -> shingle -> explode runs ONCE (set
     # sizes carried as count() over (partition by doc_id) on the gram frame)
     # instead of a separate re-aggregating branch.  Interleaved-min A/B at
-    # sf0.1 (BENCH/q43_ab.json): window 8.15s vs persist 8.24s vs reagg
-    # 11.17s.  The finalized AQE plan reuses the self-join exchange under
+    # sf0.1 (BENCH/q43_ab.json): window 8.41s vs persist 8.98s vs reagg
+    # 12.49s.  The finalized AQE plan reuses the self-join exchange under
     # BOTH strategies (post-execution probe); reagg's gap is the sizes
-    # branch re-running the full scan+shingle pass (8 vs 4 partition evals
-    # on the probe source).
+    # branch re-running the full scan+shingle pass (16 vs 12 partition
+    # evals on the pruning-included probe source = 4 vs 3 full passes).
     out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
                               max_df_frac=Q43_MAX_DF_FRAC,
                               size_strategy="window")

@@ -210,9 +210,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     plan reuses ONE exchange across the self-join sides under BOTH
     strategies — an earlier "no reuse" reading came from inspecting a
     never-executed QueryExecution and is retracted.  Accumulator probe on
-    a 4-partition source: ``"reagg"`` evaluates it 8/4 = 2 full passes
-    (the sizes branch re-runs scan -> shingle -> explode; the join sides
-    share the reused exchange) vs ``"window"`` 4/4 = 1 pass):
+    a 4-partition source, max_df_frac pruning included (the plan q43
+    actually runs; its ndocs count and gram-DF aggregate add two passes to
+    every variant): ``"reagg"`` evaluates it 16/4 = 4 full passes vs
+    ``"window"`` 12/4 = 3 — the delta is the sizes branch re-running
+    scan -> shingle -> explode; the join sides share the reused exchange):
 
     * ``"reagg"`` — separate ``groupBy(id)`` size branch.  Pays one extra
       full scan+shingle pass, but every shuffle beyond the join's is
@@ -221,7 +223,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       frame itself, so scan -> shingle -> explode runs ONCE and the two
       post-join size lookups disappear; costs one full gram-frame shuffle
       by id before the g-join.  Measured A/B at sf0.1, interleaved min
-      (BENCH/q43_ab.json): window 8.15s vs persist 8.24s vs reagg 11.17s
+      (BENCH/q43_ab.json): window 8.41s vs persist 8.98s vs reagg 12.49s
       — q43 uses this.  At design scale the extra by-id shuffle is the
       same O(total grams) class as the g-shuffle the join pays anyway,
       while reagg's saved shuffle buys an extra full scan+shingle pass.
@@ -470,6 +472,12 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     """
     from pyspark.sql.types import ArrayType, LongType
 
+    if cap_strategy not in ("window", "broadcast"):
+        # Validated up front even with max_bucket=None (and before the dim
+        # probe runs a job): a typo must not lie dormant until a production
+        # config enables the cap.
+        raise ValueError(
+            f"cap_strategy must be window|broadcast, got {cap_strategy!r}")
     first = df.select(vec_col).first()
     dim = len(first[vec_col])
     planes = hyperplanes(n_tables, n_planes, dim, seed)
@@ -495,16 +503,13 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                       .withColumn("__w", F.count(F.lit(1)).over(wb))
                       .filter(F.col("__w") <= max_bucket)
                       .drop("__w"))
-        elif cap_strategy == "broadcast":
+        else:
             wide = (tagged.groupBy("tbl", "bucket")
                     .agg(F.count(F.lit(1)).alias("__w"))
                     .filter(F.col("__w") > max_bucket)
                     .select("tbl", "bucket"))
             tagged = tagged.join(F.broadcast(wide),
                                  on=["tbl", "bucket"], how="left_anti")
-        else:
-            raise ValueError(
-                f"cap_strategy must be window|broadcast, got {cap_strategy!r}")
     a, b = tagged.alias("a"), tagged.alias("b")
     cand = (
         a.join(b, on=["tbl", "bucket"])

@@ -93,6 +93,13 @@ def _dynamic_confs() -> dict[str, str]:
     }
 
 
+def engine_confs() -> dict[str, str]:
+    """The full engine conf set: static ENGINE_CONFS overlaid with the
+    env-dependent confs read NOW.  Single source of truth for every entry
+    point (get_spark here, jobs/run_features.py under spark-submit)."""
+    return {**ENGINE_CONFS, **_dynamic_confs()}
+
+
 def get_spark(app_name: str = "featureextraction_jl_spark",
               master: str | None = None,
               extra_confs: dict[str, str] | None = None) -> SparkSession:
@@ -108,7 +115,7 @@ def get_spark(app_name: str = "featureextraction_jl_spark",
     for k, v in WORKER_MALLOC_ENV.items():
         os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**ENGINE_CONFS, **_dynamic_confs()}.items():
+    for k, v in engine_confs().items():
         builder = builder.config(k, v)
     for k, v in WORKER_MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

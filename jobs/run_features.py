@@ -52,10 +52,10 @@ def main(argv=None) -> int:
 
     from featureextraction_jl_spark.plans import FeatureJobConfig
     from featureextraction_jl_spark.plans.checkpoint import run_features_resumable
-    from featureextraction_jl_spark.session import ENGINE_CONFS, _dynamic_confs
+    from featureextraction_jl_spark.session import engine_confs
 
     builder = SparkSession.builder.appName("fe-run-features")
-    for key, val in {**ENGINE_CONFS, **_dynamic_confs()}.items():
+    for key, val in engine_confs().items():
         if not key.startswith("spark.driver."):  # driver opts fixed at submit
             builder = builder.config(key, val)
     spark = builder.getOrCreate()

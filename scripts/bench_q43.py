@@ -54,8 +54,13 @@ def count_upstream_evals(spark) -> dict[str, int]:
     """Accumulator probe on a tiny synthetic corpus: how many times does the
     source execute under each variant?  (partitions=4, so 4 evals per pass —
     same probe as scripts/bench_q41.py, kept here so a rerun regenerates
-    every field of BENCH/q43_ab.json.)"""
+    every field of BENCH/q43_ab.json.)  The probed plan includes the
+    max_df_frac pruning branch, matching the timed A/B and the production
+    q43 — its ndocs count and gram-DF aggregate each add a source pass to
+    EVERY variant, so the variant DELTA isolates the size branch."""
     from featureextraction_jl_spark.operators.dedup import ngram_jaccard_pairs
+
+    import __spark_entry__ as entry
 
     out = {}
     rows = [(i, "xx" + format(i, "05d") * 2) for i in range(500)]
@@ -69,6 +74,7 @@ def count_upstream_evals(spark) -> dict[str, int]:
 
         d = base.mapInPandas(mark, base.schema)
         ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.1,
+                            max_df_frac=entry.Q43_MAX_DF_FRAC,
                             size_strategy="window" if variant == "window" else "reagg",
                             persist_grams=variant == "persist") \
             .write.format("noop").mode("overwrite").save()

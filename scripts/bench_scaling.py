@@ -87,11 +87,6 @@ def run_warm(cpus: int, convs: int, mega: int,
     session, and wave quantization from AQE coalesce is a local[8]
     artifact, not an engine property.
     """
-    if reps < 2:
-        raise SystemExit(
-            f"--warm-reps must be >= 2 (got {reps}): rep 0 is dropped as "
-            "JVM warmup, so a 1-rep 'warm' sample would silently report the "
-            "cold warmup rep under the warm header")
     rec = run_once(cpus, convs, mega, reps=reps, coalesce=False)
     walls = rec["samples"]["flagship_feature_job"]
     best_warm = min(walls[1:])
@@ -121,6 +116,17 @@ def main() -> None:
                     help="print the JSON line only; leave BENCH/BASELINE.md "
                          "untouched (extra evidence pairs are merged by hand)")
     args = ap.parse_args()
+
+    # Fail fast, BEFORE hours of cold-ladder runs that a late error would
+    # discard unrecorded.
+    if not args.skip_warm and args.warm_reps < 2:
+        ap.error(f"--warm-reps must be >= 2 (got {args.warm_reps}): rep 0 "
+                 "is dropped as JVM warmup, so a 1-rep 'warm' sample would "
+                 "silently report the cold warmup rep under the warm header")
+    if args.skip_cold and args.skip_warm and not args.no_md:
+        ap.error("--skip-cold --skip-warm measures nothing; nothing to "
+                 "write to BENCH/BASELINE.md (add --no-md to emit the "
+                 "empty JSON line if that is really what you want)")
 
     t0 = time.time()
     samples: dict[int, list[float]] = {c: [] for c in LEVELS}

@@ -1,4 +1,5 @@
-"""Engine session configuration contract (no Spark start needed)."""
+"""Engine session configuration contract (mostly no Spark start needed;
+the get_spark integration check reuses the shared session fixture)."""
 
 from __future__ import annotations
 
@@ -26,6 +27,24 @@ def test_dynamic_confs_read_env_at_build_time(monkeypatch):
     # and neither is frozen into the static conf dict anymore
     assert "spark.sql.adaptive.coalescePartitions.enabled" not in ENGINE_CONFS
     assert "spark.sql.shuffle.partitions" not in ENGINE_CONFS
+
+
+def test_get_spark_applies_dynamic_confs(spark, monkeypatch):
+    """get_spark must actually push _dynamic_confs() into the session —
+    pinning the merge in get_spark itself, not just the helper's output
+    (builder.config + getOrCreate applies runtime SQL confs to a live
+    session, so the env toggle works even mid-process)."""
+    from featureextraction_jl_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "19")
+    try:
+        s2 = get_spark("conf-probe")
+        assert s2 is spark  # getOrCreate reuses the live session
+        assert s2.conf.get("spark.sql.shuffle.partitions") == "19"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
 def test_arrow_and_aqe_pinned():
