@@ -868,7 +868,7 @@ def q45_ann_lsh(spark, sf):
     out = embedding_near_dup_pairs(
         e, "embedding", "vec_id", threshold=Q45["threshold"],
         n_planes=Q45["n_planes"], n_tables=Q45["n_tables"],
-        max_bucket=Q45["max_bucket"])
+        max_bucket=Q45["max_bucket"], dim=Q45["dim"])  # dim known: no probe job
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

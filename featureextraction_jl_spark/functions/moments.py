@@ -154,7 +154,13 @@ def _arrow_partials(batches, col_idx: int = 0):
     for b in batches:
         if b.num_rows == 0:
             continue
-        x = _batch_to_matrix(b.column(col_idx))
+        col = b.column(col_idx)
+        if col.null_count == b.num_rows:
+            # An entirely-null batch (e.g. a long null-vector run in the
+            # source) has nothing to stack — skip it like the column-list
+            # path does, instead of crashing np.stack on an empty list.
+            continue
+        x = _batch_to_matrix(col)
         m = batch_moments(x)
         acc = m if acc is None else merge_moments(acc, m)
     yield from _emit_partial(acc)

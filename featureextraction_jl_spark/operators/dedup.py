@@ -425,6 +425,7 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              n_planes: int = 8, n_tables: int = 8,
                              max_bucket: int | None = None,
                              cap_strategy: str = "window",
+                             dim: int | None = None,
                              seed: int = 7) -> DataFrame:
     """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
 
@@ -478,8 +479,12 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         # config enables the cap.
         raise ValueError(
             f"cap_strategy must be window|broadcast, got {cap_strategy!r}")
-    first = df.select(vec_col).first()
-    dim = len(first[vec_col])
+    if dim is None:
+        # O(1) build-time probe, but still an extra Spark job over the
+        # upstream plan — prefer passing ``dim`` when the embedding width
+        # is known (same advice as compute_moments_expr's ``p``).
+        first = df.select(vec_col).first()
+        dim = len(first[vec_col])
     planes = hyperplanes(n_tables, n_planes, dim, seed)
     pmat = planes.reshape(n_tables * n_planes, dim)  # (t*m, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)

@@ -163,6 +163,26 @@ def test_moments_bucketed_and_auto(spark):
         compute_moments(df, "vec", merge="nope")
 
 
+def test_moments_empty_and_all_null_input(spark):
+    """Every reduce strategy returns the zero moment (n=0) on an empty or
+    all-null source instead of crashing — the degenerate partition case the
+    per-partition worker merge must emit nothing for."""
+    from featureextraction_jl_spark.functions import compute_moments_bucketed
+    from featureextraction_jl_spark.functions.moments import (
+        compute_moments_expr,
+        compute_moments_tree,
+    )
+
+    empty = spark.createDataFrame([], "vec array<double>")
+    nulls = spark.createDataFrame([(None,), (None,)], "vec array<double>")
+    for df in (empty, nulls):
+        for m in (compute_moments(df, "vec", merge="driver"),
+                  compute_moments_bucketed(df, "vec"),
+                  compute_moments_tree(df, "vec"),
+                  compute_moments_expr(df, "vec", p=4)):
+            assert m.n == 0, m
+
+
 def test_moments_auto_switch_routes_to_bucketed(spark, monkeypatch):
     """merge='auto' must route through the executor-side bucketed reduce
     once the source partition count exceeds the threshold (the design-scale
