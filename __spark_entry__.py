@@ -87,9 +87,6 @@ def _davg(col, cnt_col=None, scale: int = 6):
     return F.sum(F.col(col).cast(f"decimal(27,{scale})")).cast("double") / cnt
 
 
-EPOCH = "cast(ts as double)"
-
-
 # ---------------------------------------------------------------------------
 # Group D — relational operators
 # ---------------------------------------------------------------------------
@@ -372,7 +369,13 @@ def q19_json_fns(spark, sf):
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        # try_cast via double, truncating: a direct string->long cast
+        # diverges from DuckDB on non-integer JSON numbers (DuckDB's CAST
+        # rounds '1.99'->2 and ERRORS on 'abc'; Spark's ANSI cast likewise
+        # errors on malformed input).  Both sides now TRY-parse as double
+        # then truncate toward zero; non-numeric -> NULL on both.
+        F.get_json_object("props", "$.k").try_cast("double")
+        .try_cast("long").alias("k_num"),
         m.getItem("type").alias("type_from_map"),
         m.getItem("uid").alias("uid_from_map"),
         F.size(m).alias("map_size"),
@@ -711,14 +714,6 @@ def q40_langid(spark, sf):
     """Language-ID heuristic: stopword votes per language, argmax label."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.lower(F.trim("text")), r"\s+")
-
-    def votes(words):
-        cond = None
-        for w in words:
-            c = F.col("w") == w
-            cond = c if cond is None else (cond | c)
-        return F.size(F.filter(toks, lambda x: x.isin(list(words))))
-
     en = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "is", "to")))
     fr = F.size(F.filter(toks, lambda w: w.isin("le", "la", "et", "de", "un")))
     de = F.size(F.filter(toks, lambda w: w.isin("der", "die", "und", "das", "ist")))
@@ -881,8 +876,11 @@ def q46_doc_fingerprint(spark, sf):
     """
     d = _t(spark, sf, "documents")
     # Gate AND positions both derive from length(lower(text)) (ADVICE r03:
-    # a char whose lowercase form changes string length, e.g. U+0130, would
-    # desynchronize the gram count if the gate read the raw length).
+    # deriving the gate from the RAW length would desynchronize gate and
+    # positions within one engine when lower() changes string length).
+    # NOTE this keeps each engine internally consistent only; JVM vs DuckDB
+    # case-table differences on chars like U+0130 remain a documented
+    # cross-engine boundary (oracle_sql docstring).
     n_shingles = F.when(
         F.length(F.lower(F.col("text"))) >= 5,
         F.size(F.array_distinct(F.expr(
@@ -907,9 +905,10 @@ def _minhash_pairs_cte() -> str:
 
     Every parameter derives from the same ``Q41`` dict / dedup-module
     constants the Spark calls use — neither side can silently drift.  Gram
-    positions use ``length(lower(text))`` exactly like shingle_hashes (a
-    Unicode char whose lowercase form changes string length, e.g. U+0130,
-    would otherwise desynchronize the gram count).
+    positions use ``length(lower(text))`` exactly like shingle_hashes so
+    gate and positions stay internally consistent; JVM-vs-utf8proc case
+    mapping differences remain a cross-engine boundary (oracle_sql
+    docstring).
     """
     from featureextraction_jl_spark.operators.dedup import (
         MINHASH_P, PORTABLE_HASH_HEX_CHARS, carter_wegman_coefs)
@@ -1065,7 +1064,12 @@ def _q35_oracle() -> str:
 
     Reads the embeddings parquet at the driver's compare scale (sf0.01, the
     same default tests/test_queries.py uses; override with
-    SPARK_GRAFT_SF_DIR_TEST) and emits SQL computing the Mahalanobis form
+    SPARK_GRAFT_SF_DIR_TEST).  CAVEAT: oracle_sql() strings carry no runtime
+    sf parameter (driver contract), so the model literals inlined here are
+    fitted at THAT scale regardless of the sf dir the Spark query reads —
+    comparing q35 at any other scale requires setting SPARK_GRAFT_SF_DIR_TEST
+    to the same dir or every maha2/recon_err value mismatches by
+    construction.  Emits SQL computing the Mahalanobis form
     (x-mu)' Sigma^{-1} (x-mu) per row, with mu and
     Sigma^{-1} = V diag(1/(lam+EPS)) V' inlined as 17-digit DOUBLE literals
     (exact float64 round-trip — the q45 hyperplane trick).  For the
@@ -1174,6 +1178,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB twins for every queries() entry (driver contract).
+
+    Known cross-engine comparability boundary — Unicode case mapping: the
+    JVM implements full case mapping (lower('İ') = 'i'+U+0307, 2 chars;
+    upper('ß') = 'SS') while DuckDB's utf8proc implements simple case
+    mapping (lower('İ') = 'i', 1 char; upper('ß') = 'ẞ').  Queries that
+    lowercase/uppercase text (q15 head_upper; the gram pipelines of
+    q41/q42/q43/q46/q48/q49) therefore agree only on text whose case
+    mapping is identical under both (ASCII and most scripts; exceptions
+    are chars like U+0130/U+00DF).  The length(lower(text)) position
+    derivations below keep each side INTERNALLY consistent (gate and
+    positions from the same string) — they cannot, and do not claim to,
+    reconcile the two engines' case tables.  The driver's generated corpus
+    is ASCII, where the mappings coincide.
+    """
     sql = {
         "q01_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
@@ -1229,7 +1248,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o
               ON l.l_orderkey = o.o_orderkey
              AND l.l_shipdate >= o.o_orderdate
-             AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+             -- raw timestamp vs midnight-of-day-60, matching the engine's
+             -- l_shipdate <= date_add(orderdate, 60): casting the left side
+             -- to DATE would admit a 14:00 shipment on day 60 that the
+             -- engine rejects (whole-day-granularity asymmetry).
+             AND l.l_shipdate <= CAST(CAST(o.o_orderdate AS DATE)
+                                      + INTERVAL 60 DAY AS TIMESTAMP)
             GROUP BY o_orderpriority
         """,
         "q08_rollup": """
@@ -1342,7 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_json_fns": """
             SELECT event_id,
                    json_extract_string(props, '$.k') AS k_str,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                   CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
+                       AS DOUBLE)) AS BIGINT) AS k_num,
                    map_extract(MAP(['type','uid'],
                        [event_type, CAST(user_id AS VARCHAR)]), 'type')[1]
                        AS type_from_map,
@@ -1403,26 +1428,37 @@ def oracle_sql() -> dict[str, str]:
                                         AND CURRENT ROW) AS n_1h
             FROM events
         """,
+        # The purchase side is deduped per (user_id, ts) to the engine's
+        # pinned tie-winner (asof.py: LAST under (ts, *right_order) wins =>
+        # MAX(value) for the backward sweep) BEFORE the ASOF join: DuckDB's
+        # ASOF picks an arbitrary row among duplicate right timestamps, so
+        # without the dedup the oracle is nondeterministic exactly where
+        # the engine is pinned.
         "q25_asof_backward": """
             SELECT e.user_id, e.event_id, p.purchase_value,
                    CASE WHEN p.ts IS NOT NULL
                              AND e.ts - p.ts <= INTERVAL 7200 SECONDS
                         THEN p.purchase_value END AS purchase_value_2h
             FROM events e ASOF LEFT JOIN
-                 (SELECT user_id, ts, value AS purchase_value FROM events
-                  WHERE event_type = 'purchase') p
+                 (SELECT user_id, ts, MAX(value) AS purchase_value FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id, ts) p
               ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         # nearest = closer of the backward / forward as-of matches; equal
         # distance resolves to the backward match (<=), mirroring asof.py.
+        # Purchase sides deduped per (user_id, ts) to the engine's pinned
+        # tie-winners: backward sweep = MAX(value) (last under ascending
+        # (ts, value)), forward sweep = MIN(value) (last under descending).
         "q26_asof_forward": """
-            WITH p AS (SELECT user_id, ts, value AS pv FROM events
-                       WHERE event_type = 'purchase'),
+            WITH pb AS (SELECT user_id, ts, MAX(value) AS pv FROM events
+                        WHERE event_type = 'purchase' GROUP BY user_id, ts),
+            pf AS (SELECT user_id, ts, MIN(value) AS pv FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id, ts),
             b AS (SELECT e.user_id, e.event_id, e.ts, p.ts AS bts, p.pv AS bval
-                  FROM events e ASOF LEFT JOIN p
+                  FROM events e ASOF LEFT JOIN pb p
                     ON e.user_id = p.user_id AND e.ts >= p.ts),
             f AS (SELECT e.event_id, p.ts AS fts, p.pv AS fval
-                  FROM events e ASOF LEFT JOIN p
+                  FROM events e ASOF LEFT JOIN pf p
                     ON e.user_id = p.user_id AND e.ts <= p.ts)
             SELECT b.user_id, b.event_id, f.fval AS next_purchase,
                    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
@@ -1624,8 +1660,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
                    CAST(strlen(text) + 4 AS BIGINT) AS n_bytes,
-                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '89504e47'
-                        WHEN 1 THEN '52494646' ELSE '00000018' END AS magic_hex,
+                   -- NULL text -> NULL payload engine-side, so every
+                   -- payload-derived field (incl. the magic, which the
+                   -- engine can only read FROM the payload) null-propagates
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN CAST(doc_id % 3 AS INT) = 0 THEN '89504e47'
+                        WHEN CAST(doc_id % 3 AS INT) = 1 THEN '52494646'
+                        ELSE '00000018' END AS magic_hex,
                    md5(text) AS content_md5
             FROM documents
         """,

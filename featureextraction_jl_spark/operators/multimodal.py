@@ -67,13 +67,17 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pay = pdf[payload_col]
+            # NULL payloads (e.g. a null source text upstream of
+            # attach_media) yield NULL metadata fields, matching SQL
+            # null-propagation — .astype('int64') / md5(None) would
+            # otherwise kill the task on the first null row.
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
                 "media_type": pdf["media_type"],
-                "n_bytes": pay.str.len().astype("int64"),
-                "magic_hex": pay.str[:4].map(bytes.hex),
+                "n_bytes": pay.str.len().astype("Int64"),
+                "magic_hex": pay.str[:4].map(bytes.hex, na_action="ignore"),
                 "content_md5": pay.str[4:].map(
-                    lambda b: hashlib.md5(b).hexdigest()),
+                    lambda b: hashlib.md5(b).hexdigest(), na_action="ignore"),
             })
 
     return df.select(*cols).mapInPandas(extract, schema=META_SCHEMA)
