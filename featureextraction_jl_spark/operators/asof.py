@@ -45,7 +45,12 @@ def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
     """Shared union+window sweep. descending=False -> backward as-of."""
     on = list(on)
     lhs = left.withColumn(_SIDE, F.lit(1))
-    rhs = right.select(
+    # A NULL right timestamp is unmatchable by definition — and unfiltered
+    # it would sort nulls-FIRST in the ascending sweep, attaching its
+    # payload to every left row that precedes the first real right row
+    # (with matched_ts still NULL: a temporally untraceable, leakage-shaped
+    # match).  Drop such rows before the union.
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias(left_ts),
         F.col(right_ts).alias(_MATCH_TS),

@@ -32,12 +32,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact content dedup: keep the min-id row per content digest.
 
-    Shuffles on a 64-bit digest, not the document body — at 100 TB the
-    shuffle payload is (digest, id), then a self-semi-join retrieves
-    survivors.  Normalization is deliberately none: byte-exact dedup.
+    Shuffles on a digest, not the document body — at 100 TB the shuffle
+    payload is (digest, id), then a self-semi-join retrieves survivors.
+    Normalization is deliberately none: byte-exact dedup.
+
+    The digest is TWO independently-seeded xxhash64 values (~128 bits):
+    a single 64-bit digest has expected birthday collisions of
+    C(n,2)/2^64 ≈ 3 at n = 10^10 docs — each one silently deleting a
+    unique document — while the paired digest's expectation is ~2^-64 of
+    that (≈ 10^-8 pairs at 10^11 docs).  Shuffle payload grows 8 bytes/row;
+    group-by cost is unchanged.
     """
-    digests = df.select(id_col, F.xxhash64(F.col(text_col)).alias("__digest"))
-    keep = digests.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    digests = df.select(
+        id_col,
+        F.xxhash64(F.col(text_col)).alias("__d1"),
+        # second seed word makes the pair behave as one 128-bit digest
+        F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)).alias("__d2"))
+    keep = digests.groupBy("__d1", "__d2").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
@@ -134,7 +145,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, k: int = 5,
                       portable: bool = False,
-                      cache_banded: bool = False) -> DataFrame:
+                      cache_banded: bool = False,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     signature -> ``bands`` bands of r = num_hashes/bands rows; documents
@@ -152,6 +164,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     self-join does not reuse one exchange, the whole shingle -> signature
     -> banding pipeline (the expensive part) executes once per side.
     A/B-measured by scripts/bench_q41.py; see BENCH/q41_ab.json.
+
+    ``max_bucket``: drop (band, band_hash) buckets wider than this before
+    the self-join.  "Naturally bounded bucket sizes" fails on degenerate
+    corpora: every NULL/empty/short-text document produces the SAME
+    single-gram signature, so 10^7 such docs (routine in scraped data)
+    make one bucket per band emitting ~10^14 join rows.  The width is
+    carried as ``count() over (partition by band, band_hash)`` — the same
+    window trick as q43/ANN; its exchange is the join's partitioning, so
+    the cap costs no extra pass.  Default None keeps the exact LSH
+    candidate semantics (q41's oracle contract).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -167,6 +189,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_hash")
+        banded = (banded
+                  .withColumn("__w", F.count(F.lit(1)).over(wb))
+                  .filter(F.col("__w") <= max_bucket)
+                  .drop("__w"))
     if cache_banded:
         banded = banded.persist()
     a = banded.alias("a")
@@ -482,9 +510,21 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     if dim is None:
         # O(1) build-time probe, but still an extra Spark job over the
         # upstream plan — prefer passing ``dim`` when the embedding width
-        # is known (same advice as compute_moments_expr's ``p``).
-        first = df.select(vec_col).first()
+        # is known (same advice as compute_moments_expr's ``p``).  Probe
+        # past NULL embeddings (a null first row is routine in scraped
+        # corpora and len(None) would fail on the driver).
+        first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if first is None:
+            return (df.sparkSession.createDataFrame(
+                [], f"id_a {dict(df.dtypes)[id_col]}, "
+                    f"id_b {dict(df.dtypes)[id_col]}, cosine double"))
         dim = len(first[vec_col])
+    # Null / ragged / null-element vectors cannot be hashed or scored —
+    # drop them up front (same guard as the moments paths) instead of
+    # letting np.stack kill the stage hours into a 100 TB scan.
+    v0 = F.col(vec_col)
+    df = df.filter(v0.isNotNull() & (F.size(v0) == F.lit(dim))
+                   & ~F.exists(v0, lambda x: x.isNull()))
     planes = hyperplanes(n_tables, n_planes, dim, seed)
     pmat = planes.reshape(n_tables * n_planes, dim)  # (t*m, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)

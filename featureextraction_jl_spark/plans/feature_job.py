@@ -104,7 +104,12 @@ def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
     The operators are pairwise independent, so any order is semantically
     identical — this one is the cheapest physical plan.
     """
-    df = transcripts.withColumn("char_len", F.length("text").cast("double"))
+    # coalesce: a NULL text (legal per the schema) must yield char_len 0.0,
+    # not a null raw_vec element — the Arrow moments path would render that
+    # null as NaN and one such turn would poison the global covariance and
+    # the fitted model for the entire run.
+    df = transcripts.withColumn(
+        "char_len", F.coalesce(F.length("text").cast("double"), F.lit(0.0)))
     if snapshots is not None:
         # left_order=ORDER[1:]: fold turn_idx into the sweep's sort so the
         # sessionize/lag/backfill windows' (ts, turn_idx) ordering is already

@@ -46,9 +46,25 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
     ``compute_grouped_moments`` output (equivalence is test-pinned).
     """
     heavy = detect_heavy_keys(df, key, heavy_threshold, sample_fraction)
+    # Null-safe heavy test: isin() is NULL (not false) for a NULL key and
+    # for a list containing None, and NULL is a classic dominant skew key —
+    # falling through to salt=0 would funnel the whole null group into ONE
+    # applyInPandas worker, exactly what salting exists to prevent.
+    heavy_nonnull = [k for k in heavy if k is not None]
+    is_heavy = F.col(key).isin(heavy_nonnull) if heavy_nonnull else F.lit(False)
+    if any(k is None for k in heavy):
+        is_heavy = is_heavy | F.col(key).isNull()
+    # Deterministic, content-derived salt: monotonically_increasing_id is
+    # position-dependent, so a task retry after a fetch failure could
+    # re-salt rows differently and double/zero-count them in the shuffled
+    # aggregation (the SPARK-23207 failure class).  Hashing the row content
+    # gives every recomputation the same salt; duplicate rows sharing a
+    # salt is harmless (moments are summed) and does not concentrate load
+    # unless the same exact row repeats ~group-size times.
     salt = (
-        F.when(F.col(key).isin(heavy),
-               F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts)))
+        F.when(F.coalesce(is_heavy, F.lit(False)),
+               F.pmod(F.xxhash64(F.col(key), F.col(vec_col), F.lit(17)),
+                      F.lit(num_salts)))
         .otherwise(F.lit(0))
         .cast("int")
     ) if heavy else F.lit(0)
@@ -67,7 +83,12 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
             "m2": [(xc.T @ xc).ravel().tolist()],
         })
 
-    partial_schema = f"{key} string, n long, mean array<double>, m2 array<double>"
+    # Key type derived from the frame, not hardcoded: a literal "string"
+    # would Arrow-type-mismatch at runtime for bigint/date keys (the bug
+    # class streaming/state.py fixed the same way).
+    key_type = dict(df.dtypes)[key]
+    partial_schema = (f"{key} {key_type}, n long, "
+                      f"mean array<double>, m2 array<double>")
     partials = salted.groupBy(key, "__salt").applyInPandas(partial, partial_schema)
 
     # stage 2: re-merge per key (<= num_salts tiny rows each)

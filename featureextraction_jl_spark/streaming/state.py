@@ -30,7 +30,8 @@ from featureextraction_jl_spark.functions.moments import (
 _STATE_SCHEMA = "n long, mean array<double>, m2 array<double>"
 
 
-def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFrame:
+def streaming_moments(stream: DataFrame, key_col: str, vec_col: str,
+                      state_ttl_ms: int | None = None) -> DataFrame:
     """Per-key running moments over a stream of array<double> vectors.
 
     Emits one (key, n, mean, m2) row per key per micro-batch that touched it
@@ -38,6 +39,14 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFram
     ``fit_pca`` can be applied to any emission — giving continuously
     refreshed whitening models at 10^12-turn scale without re-scanning
     history.
+
+    ``state_ttl_ms``: evict a key's state after this much processing time
+    without new data.  At the design scale the key space (conv_id) grows
+    without bound — ~5 KB of (n, mean, m2) state per key ever seen (p=25)
+    is tens of TB of never-purged state store after enough months; keys
+    that finished streaming long ago should not occupy it.  Default None
+    keeps the exact-cumulative semantics (no eviction) for bounded key
+    spaces.
     """
     # Output key field keeps the incoming key column's type (a hardcoded
     # "key string" would schema-mismatch at runtime for non-string keys).
@@ -47,6 +56,9 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFram
     def update(key: Tuple[Any, ...],
                pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n0, mean0, m20 = state.get
             mean0 = np.asarray(mean0, dtype=np.float64)
@@ -56,19 +68,27 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str) -> DataFram
         else:
             acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
         for pdf in pdfs:
-            if len(pdf) == 0:
+            # dropna: a NULL vector is a poison pill otherwise — np.stack
+            # raises, the micro-batch fails, and the checkpoint re-offers
+            # the same batch on every restart, wedging the query forever.
+            vals = pdf[vec_col].dropna()
+            if len(vals) == 0:
                 continue
-            acc = merge_moments(acc, batch_moments(np.stack(pdf[vec_col].to_numpy())))
+            acc = merge_moments(acc, batch_moments(np.stack(vals.to_numpy())))
         state.update((acc.n, acc.mean.tolist(), acc.m2.ravel().tolist()))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame({"key": [key[0]], "n": [acc.n],
                             "mean": [acc.mean.tolist()],
                             "m2": [acc.m2.ravel().tolist()]})
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (
         stream.select(key_col, vec_col)
         .groupBy(key_col)
         .applyInPandasWithState(update, out_schema, _STATE_SCHEMA,
-                                "update", GroupStateTimeout.NoTimeout)
+                                "update", timeout)
     )
 
 
@@ -79,7 +99,9 @@ def streaming_moments_tws(stream: DataFrame, key_col: str,
 
     The TWS API is the forward path for custom stateful operators (typed
     value state, timers, TTL, RocksDB-backed); the applyInPandasWithState
-    variant stays as the portable fallback.  NOTE: in this sandbox the TWS
+    variant stays as the portable fallback (which carries the state_ttl_ms
+    eviction option — under TWS the same bound comes natively from value
+    state TTL).  NOTE: in this sandbox the TWS
     driver-side pre-init Python worker cannot complete its socket handshake
     (verified with a minimal count-state processor — env-level, same class
     of gating as the Iceberg scan branch), so tests/test_streaming.py
@@ -108,10 +130,11 @@ def streaming_moments_tws(stream: DataFrame, key_col: str,
             else:
                 acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
             for pdf in rows:
-                if len(pdf) == 0:
+                vals = pdf[vec_col].dropna()  # NULL vec: poison pill otherwise
+                if len(vals) == 0:
                     continue
                 acc = merge_moments(
-                    acc, batch_moments(np.stack(pdf[vec_col].to_numpy())))
+                    acc, batch_moments(np.stack(vals.to_numpy())))
             self._state.update((acc.n, acc.mean.tolist(),
                                 acc.m2.ravel().tolist()))
             yield pd.DataFrame({"key": [key[0]], "n": [acc.n],

@@ -477,3 +477,43 @@ def test_q43_plan_build_runs_no_scan_action(spark, sf01_dir):
         f"plan build launched a scan-sized action: jobs={sorted(built_jobs)} "
         f"total_tasks={tasks}")
     assert df.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_ann_null_and_ragged_embeddings_filtered(spark):
+    """NULL / ragged / null-element embeddings (routine in scraped corpora)
+    are dropped up front instead of crashing np.stack mid-stage; a
+    null-first-row corpus still dim-probes, and an all-null corpus returns
+    an empty frame with the right schema."""
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=8)
+    good = [(i, [float(x) for x in base + rng.normal(scale=1e-3, size=8)])
+            for i in range(2)]
+    bad = [(11, [1.0, 2.0]),                        # wrong length
+           (12, [float("nan")] * 7 + [None])]       # null element
+    # null row FIRST: the dim probe must skip past it (len(None) would
+    # fail on the driver) and adopt the first valid row's length
+    df = spark.createDataFrame([(10, None)] + good + bad,
+                               "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs(df, "embedding", "vec_id",
+                                   threshold=0.9, n_planes=2, n_tables=4)
+    assert _pairs(got) == {(0, 1)}
+    all_null = spark.createDataFrame([(1, None), (2, None)],
+                                     "vec_id long, embedding array<double>")
+    empty = embedding_near_dup_pairs(all_null, "embedding", "vec_id")
+    assert empty.columns == ["id_a", "id_b", "cosine"]
+    assert empty.count() == 0
+
+
+def test_minhash_max_bucket_caps_degenerate_buckets(spark):
+    """Degenerate texts (empty/near-empty) all share one signature, so m
+    such docs put m rows in one (band, band_hash) bucket -> m^2 join rows;
+    max_bucket drops those buckets while real near-dup pairs survive."""
+    degenerate = [(i, "") for i in range(20)]
+    real = [(100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown fox jumps over the lazy dogs")]
+    d = spark.createDataFrame(degenerate + real, "doc_id long, text string")
+    uncapped = _pairs(minhash_lsh_pairs(d, num_hashes=16, bands=4, k=4))
+    capped = _pairs(minhash_lsh_pairs(d, num_hashes=16, bands=4, k=4,
+                                      max_bucket=10))
+    assert (100, 101) in uncapped and len(uncapped) >= 20 * 19 // 2
+    assert capped == {(100, 101)}

@@ -100,6 +100,46 @@ def test_salting_equivalence(spark, data):
                                    rtol=1e-8, atol=1e-8)
 
 
+def test_flagship_null_text_does_not_poison_model(spark, data):
+    """A NULL text (legal per the schema) must behave as char_len 0, not
+    inject a null raw_vec element — one such element becomes NaN in the
+    Arrow moments path and poisons the global covariance / fitted model."""
+    t, s = data
+    t_null = t.withColumn(
+        "text", F.when(F.col("turn_idx") % 97 == 3, None)
+                 .otherwise(F.col("text")))
+    n_nulled = t_null.filter(F.col("text").isNull()).count()
+    assert n_nulled > 0  # the planted rows exist
+    out, model = run_features(t_null, s, CFG)
+    assert np.isfinite(model.components).all()
+    assert np.isfinite(model.mu).all()
+    y = np.stack(out.select("feature_vec").toPandas()["feature_vec"].to_numpy())
+    assert np.isfinite(y).all()          # every row, nulled ones included
+    assert out.count() == t.count()      # no rows silently dropped
+
+
+def test_salting_null_and_nonstring_key(spark):
+    """NULL as the dominant skew key must be salted (isin() is NULL-valued
+    for a NULL key), and a bigint key must not Arrow-mismatch the partial
+    schema — both verified against the unsalted twin."""
+    rng = np.random.default_rng(11)
+    rows = [(None if i < 300 else int(i % 3),
+             [float(x) for x in rng.normal(size=4)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, vec array<double>")
+    plain = {r["k"]: r for r in
+             compute_grouped_moments(df, ["k"], "vec").collect()}
+    salted = {r["k"]: r for r in
+              salted_grouped_moments(df, "k", "vec", heavy_threshold=50,
+                                     num_salts=8).collect()}
+    assert plain.keys() == salted.keys() and None in plain
+    for k in plain:
+        assert plain[k]["n"] == salted[k]["n"], k
+        np.testing.assert_allclose(plain[k]["mean"], salted[k]["mean"],
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(plain[k]["m2"], salted[k]["m2"],
+                                   rtol=1e-8, atol=1e-8)
+
+
 def test_flagship_plan_invariants(spark, data):
     """SURVEY.md §4 plan promises, pinned so refactors can't regress them.
 

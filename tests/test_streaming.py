@@ -69,9 +69,16 @@ def test_streaming_moments_equal_batch(spark, tmp_path):
     rng = np.random.default_rng(5)
     vdir = str(tmp_path / "vecs")
     for i in range(3):
+        vecs = list(rng.normal(size=(200, 6)))
+        if i == 1:
+            # NULL vectors in one micro-batch: a poison pill unless the
+            # stateful update drops them (np.stack would raise, the batch
+            # would fail, and the checkpoint would replay it forever)
+            vecs[7] = None
+            vecs[150] = None
         pdf = pd.DataFrame({
             "key": [f"k{j % 4}" for j in range(200)],
-            "vec": list(rng.normal(size=(200, 6))),
+            "vec": vecs,
         })
         spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(vdir)
 
@@ -89,7 +96,7 @@ def test_streaming_moments_equal_batch(spark, tmp_path):
     streamed = merge_moment_rows(last)
 
     batch = compute_moments(spark.read.parquet(vdir), "vec")
-    assert streamed.n == batch.n == 600
+    assert streamed.n == batch.n == 598     # both sides dropped the 2 nulls
     np.testing.assert_allclose(streamed.mean, batch.mean, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(streamed.m2, batch.m2, rtol=1e-8, atol=1e-8)
 

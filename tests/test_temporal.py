@@ -276,3 +276,26 @@ def test_asof_property_matches_pandas(spark, case):
         assert len(g) == len(w), direction
         match = (gp == wp) | (np.isnan(gp) & np.isnan(wp))
         assert match.all(), f"{direction}: {g[~match]} vs {w[~match]}"
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with a NULL timestamp is unmatchable — unfiltered it
+    would sort nulls-first in the backward sweep and attach its payload to
+    every left row preceding the first real right row (with matched_ts
+    NULL: a temporally untraceable, leakage-shaped match)."""
+    from datetime import datetime
+
+    T = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 1, T("2024-01-01 10:00:00")),
+         (1, 2, T("2024-01-01 12:00:00"))],
+        "k long, event long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0),                           # NULL ts, poisonous payload
+         (1, T("2024-01-01 11:00:00"), 7.0)],
+        "k long, rts timestamp, payload double")
+    out = {r["event"]: (r["payload"], r["matched_ts"]) for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     direction="backward", keep_match_ts=True).collect()}
+    assert out[1] == (None, None)                   # nothing at or before 10:00
+    assert out[2][0] == 7.0 and out[2][1] is not None
