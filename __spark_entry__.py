@@ -1657,15 +1657,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q47_media_meta": """
             SELECT doc_id,
-                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                   CASE CAST((doc_id % 3 + 3) % 3 AS INT) WHEN 0 THEN 'image'
                         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
                    CAST(strlen(text) + 4 AS BIGINT) AS n_bytes,
                    -- NULL text -> NULL payload engine-side, so every
                    -- payload-derived field (incl. the magic, which the
                    -- engine can only read FROM the payload) null-propagates
                    CASE WHEN text IS NULL THEN NULL
-                        WHEN CAST(doc_id % 3 AS INT) = 0 THEN '89504e47'
-                        WHEN CAST(doc_id % 3 AS INT) = 1 THEN '52494646'
+                        WHEN CAST((doc_id % 3 + 3) % 3 AS INT) = 0 THEN '89504e47'
+                        WHEN CAST((doc_id % 3 + 3) % 3 AS INT) = 1 THEN '52494646'
                         ELSE '00000018' END AS magic_hex,
                    md5(text) AS content_md5
             FROM documents

@@ -109,23 +109,47 @@ def merge_moments(a: Moments, b: Moments) -> Moments:
 _PARTIAL_SCHEMA = "n long, mean array<double>, m2 array<double>"
 
 
-def _batch_to_matrix(col) -> np.ndarray:
-    """Arrow list column -> (n, p) float64 matrix, zero-copy when possible.
+def _batch_to_matrix(col) -> "np.ndarray | None":
+    """Arrow list column -> (n, p) float64 matrix via the flat values buffer
+    (~5x faster than np.stack over per-row object arrays, measured
+    in-sandbox).  None when no valid rows remain.
 
-    Fixed-dim vectors let us reshape the flat values buffer directly —
-    ~5x faster than np.stack over per-row object arrays (measured in-sandbox).
-    Ragged or null-bearing columns fall back to the object path.
+    Null semantics (shared with compute_moments_expr and the scalar-column
+    path): rows that are NULL or contain a null element are DROPPED before
+    accumulation.  Element nulls are invisible to the list-level
+    ``null_count`` and np.asarray would render them as NaN, silently
+    poisoning every downstream moment — they must be masked via the child
+    validity.  Ragged batches raise: the old ``flat.size % n == 0``
+    heuristic silently mis-reshaped any ragged batch whose total element
+    count happened to divide the row count, mixing values across rows.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if col.null_count == 0:
-        flat = np.asarray(col.values, dtype=np.float64)
-        n = len(col)
-        if n > 0 and flat.size % n == 0:
-            return flat.reshape(n, flat.size // n)
-    return np.stack(col.drop_null().to_numpy(zero_copy_only=False))
+    if col.null_count:
+        col = col.drop_null()
+    if len(col) == 0:
+        return None
+    flat = pc.list_flatten(col)
+    if flat.null_count:
+        child_null = np.asarray(pc.is_null(flat))
+        bad = np.unique(np.asarray(pc.list_parent_indices(col))[child_null])
+        mask = np.ones(len(col), dtype=bool)
+        mask[bad] = False
+        col = col.filter(pa.array(mask))
+        if len(col) == 0:
+            return None
+        flat = pc.list_flatten(col)
+    lens = np.asarray(pc.list_value_length(col))
+    if not (lens == lens[0]).all():
+        raise ValueError(
+            f"ragged vector batch: lengths {sorted(set(lens.tolist()))[:5]} "
+            "— moments require fixed-dimension vectors (filter or pad "
+            "upstream; compute_moments_expr with explicit p drops "
+            "wrong-length rows instead)")
+    return np.asarray(flat, dtype=np.float64).reshape(len(col), int(lens[0]))
 
 
 def _emit_partial(m: "Moments | None"):
@@ -154,13 +178,9 @@ def _arrow_partials(batches, col_idx: int = 0):
     for b in batches:
         if b.num_rows == 0:
             continue
-        col = b.column(col_idx)
-        if col.null_count == b.num_rows:
-            # An entirely-null batch (e.g. a long null-vector run in the
-            # source) has nothing to stack — skip it like the column-list
-            # path does, instead of crashing np.stack on an empty list.
+        x = _batch_to_matrix(b.column(col_idx))
+        if x is None:          # batch had no valid (non-null) vectors
             continue
-        x = _batch_to_matrix(col)
         m = batch_moments(x)
         acc = m if acc is None else merge_moments(acc, m)
     yield from _emit_partial(acc)
@@ -388,8 +408,16 @@ def compute_grouped_moments(df: DataFrame, group_cols: list[str], vec_col: str) 
         + ", n long, mean array<double>, m2 array<double>"
 
     def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(pdf[vec_col].to_numpy())
-        m = batch_moments(x)
+        # dropna: NULL vectors are dropped like every other moments path
+        # (np.stack would otherwise crash the task); a group with no valid
+        # vectors emits nothing.
+        vals = pdf[vec_col].dropna()
+        if len(vals) == 0:
+            # object dtype: Arrow cannot convert an empty float64 ndarray
+            # column to list<double>
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in
+                                 [*group_cols, "n", "mean", "m2"]})
+        m = batch_moments(np.stack(vals.to_numpy()))
         row = {c: [k] for c, k in zip(group_cols, key)}
         row.update({"n": [m.n], "mean": [m.mean.tolist()], "m2": [m.m2.ravel().tolist()]})
         return pd.DataFrame(row)

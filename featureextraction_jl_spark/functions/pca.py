@@ -94,6 +94,14 @@ def fit_pca(moments: Moments, k: int | None = None,
     smallest k whose cumulative explained-variance ratio reaches it.  ZCA
     always keeps the full basis.
     """
+    if moments.n < 2:
+        # cov of n<2 is all-NaN; eigh would then die with an obscure
+        # 'Eigenvalues did not converge' LinAlgError pointing at LAPACK
+        # instead of at the empty/one-row input (e.g. an empty partition
+        # on a fresh day reaching the resumable fit stage).
+        raise ValueError(
+            f"fit_pca requires n >= 2 accumulated rows, got n={moments.n} "
+            "(empty or single-row input has no covariance)")
     cov = moments.cov
     lam, vec = np.linalg.eigh(cov)           # ascending
     order = np.argsort(lam)[::-1]            # descending (§1.4.5)
@@ -123,9 +131,17 @@ def project_udf(model: PCAModel, col: str | Column) -> Column:
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _project(s: pd.Series) -> pd.Series:
-        x = np.stack(s.to_numpy()).astype(np.float64)
-        y = (x - mu) @ w
-        return pd.Series(list(y))
+        # NULL vectors project to NULL (SQL null propagation) instead of
+        # crashing np.stack mid-batch.
+        mask = s.notna()
+        if mask.all():
+            x = np.stack(s.to_numpy()).astype(np.float64)
+            return pd.Series(list((x - mu) @ w))
+        out = pd.Series([None] * len(s), dtype=object, index=s.index)
+        if mask.any():
+            x = np.stack(s[mask].to_numpy()).astype(np.float64)
+            out[mask] = pd.Series(list((x - mu) @ w), index=s.index[mask])
+        return out
 
     return _project(col)
 
@@ -167,7 +183,14 @@ def inverse_udf(model: PCAModel, col: str | Column) -> Column:
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _inverse(s: pd.Series) -> pd.Series:
-        y = np.stack(s.to_numpy()).astype(np.float64)
-        return pd.Series(list(y @ w_inv + mu))
+        mask = s.notna()  # NULL in -> NULL out, like project_udf
+        if mask.all():
+            y = np.stack(s.to_numpy()).astype(np.float64)
+            return pd.Series(list(y @ w_inv + mu))
+        out = pd.Series([None] * len(s), dtype=object, index=s.index)
+        if mask.any():
+            y = np.stack(s[mask].to_numpy()).astype(np.float64)
+            out[mask] = pd.Series(list(y @ w_inv + mu), index=s.index[mask])
+        return out
 
     return _inverse(col)

@@ -12,9 +12,17 @@ from pyspark.sql import functions as F
 
 
 def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds as DOUBLE — bit-identical to DuckDB's epoch(ts), which
+    the oracle SQL uses; keep this form wherever results are oracle-compared
+    (sessionize gaps, as-of tolerances)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("timestamp_ltz").cast("double")
 
 
 def epoch_micros(col: Column | str) -> Column:
-    return (epoch_seconds(col) * F.lit(1e6)).cast("long")
+    """EXACT integer microseconds (unix_micros), for rangeBetween order
+    keys.  The old double round-trip (seconds * 1e6, truncating cast) could
+    come out one microsecond low for post-2004 epochs (double spacing
+    ~0.24us there), shifting exact-boundary rows in/out of time windows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp_ltz"))

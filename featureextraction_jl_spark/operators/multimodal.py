@@ -46,10 +46,12 @@ def attach_media(df: DataFrame, id_col: str = "doc_id",
     file; the byte layout is reproducible by the SQL oracle
     (magic || encode(text)).
     """
-    mtype = F.element_at(F.array(*[F.lit(t) for t in _TYPES]),
-                         (F.col(id_col) % 3 + 1).cast("int"))
-    magic = F.element_at(F.array(*[F.lit(MAGICS[t]) for t in _TYPES]),
-                         (F.col(id_col) % 3 + 1).cast("int"))
+    # pmod, not %: Spark % keeps the dividend's sign, so a negative id
+    # (hash-derived ids are plausibly negative) would index element_at with
+    # 0 (runtime INVALID_INDEX_OF_ZERO) or -1 (silently the LAST element).
+    idx = (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int")
+    mtype = F.element_at(F.array(*[F.lit(t) for t in _TYPES]), idx)
+    magic = F.element_at(F.array(*[F.lit(MAGICS[t]) for t in _TYPES]), idx)
     payload = F.concat(magic, F.encode(F.col(text_col), "UTF-8"))
     return df.withColumn("media_type", mtype).withColumn("payload", payload)
 
@@ -116,6 +118,11 @@ def media_feature_vectors(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             feats = []
             for payload, mtype in zip(pdf[payload_col], pdf["media_type"]):
+                if payload is None:
+                    # NULL payload -> NULL feature vector (matching
+                    # extract_media_meta); sha256(None) would kill the task
+                    feats.append(None)
+                    continue
                 x = decode_payload(payload, mtype, fake=fake)
                 feats.append([float(x.mean()), float(x.std()), float(x.min()),
                               float(x.max()), float(np.median(x)),

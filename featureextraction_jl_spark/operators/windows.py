@@ -50,10 +50,12 @@ def rolling_rows(df: DataFrame, key, order, aggs: dict[str, Column | str],
 
 def rolling_time(df: DataFrame, key, ts_col: str, aggs: dict[str, Column],
                  lookback_seconds: float) -> DataFrame:
-    """Trailing time window: rows with ts in (current - lookback, current].
+    """Trailing time window: rows with ts in [current - lookback, current].
 
-    rangeBetween over the epoch-cast order key — leakage-safe (never looks
-    past the current ts).
+    CLOSED on both ends — rangeBetween bounds are inclusive, so a row at
+    exactly ``current - lookback_seconds`` IS aggregated (the q24 oracle
+    implements the same closed interval).  Leakage-safe: never looks past
+    the current ts.
     """
     key = [key] if isinstance(key, str) else list(key)
     # rangeBetween needs integer bounds: order on microsecond epoch longs.

@@ -37,6 +37,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict
 from typing import Any
@@ -195,11 +196,31 @@ def run_features_resumable(
         _write_json_atomic(fit_man_path, fit_man)
 
     # ---- transform stage, unit by unit ----------------------------------
+    # Stale-unit sweep: a re-run with a smaller n_units would otherwise
+    # leave unit=k (k >= n_units) data dirs from the old split on disk, and
+    # read_feature_output's unit=* glob would union them — duplicating rows
+    # while job.json (which sums only 0..n_units-1) reports clean totals.
+    for entry in os.listdir(out_dir):
+        if entry.startswith("unit="):
+            try:
+                k = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k >= n_units:
+                shutil.rmtree(os.path.join(out_dir, entry))
+                stale_man = os.path.join(mdir, f"unit_{k}.json")
+                if os.path.exists(stale_man):
+                    os.remove(stale_man)
+
     units_done, units_skipped = [], []
     for unit in range(n_units):
         upath = os.path.join(mdir, f"unit_{unit}.json")
         man = _read_json(upath)
-        if valid(man):
+        # Skip only when the manifest is valid AND its data still exists:
+        # a lost/deleted unit dir with a surviving manifest would otherwise
+        # be silently omitted from the output while job.json reports its
+        # rows as present.
+        if valid(man) and os.path.isdir(os.path.join(out_dir, f"unit={unit}")):
             units_skipped.append(unit)
             continue
         if fail_after_units is not None and len(units_done) >= fail_after_units:

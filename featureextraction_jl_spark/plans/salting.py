@@ -72,7 +72,13 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
 
     # stage 1: bounded partials per (key, salt)
     def partial(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(pdf["__vec"].to_numpy())
+        # NULL vectors dropped, matching compute_grouped_moments (the
+        # equivalence this module is test-pinned against).
+        vals = pdf["__vec"].dropna()
+        if len(vals) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in [key, "n", "mean", "m2"]})
+        x = np.stack(vals.to_numpy())
         n = x.shape[0]
         mean = x.mean(axis=0)
         xc = x - mean

@@ -94,3 +94,30 @@ def test_manifest_invalidation_keys():
     assert config_hash(CFG, 4) != config_hash(FeatureJobConfig(num_buckets=8, k=5), 4)
     assert input_fingerprint("/root/testdata/sf0.001") \
         != input_fingerprint("/root/testdata/sf0.01")
+
+
+def test_shrinking_n_units_removes_stale_outputs(spark, inputs, direct, tmp_path):
+    """Re-running with a smaller n_units must delete the old split's
+    unit=k (k >= new n_units) dirs — read_feature_output's unit=* glob
+    would otherwise union the old and new splits, duplicating rows while
+    job.json reports clean totals."""
+    import shutil as _sh
+
+    tdir, sdir = inputs
+    out = str(tmp_path / "out")
+    run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+    job = run_features_resumable(spark, tdir, out, sdir, CFG, n_units=2)
+    dirs = sorted(e for e in os.listdir(out) if e.startswith("unit="))
+    assert dirs == ["unit=0", "unit=1"]          # stale unit=2,3 removed
+    k1, v1 = _collect(read_feature_output(spark, out))
+    k2, v2 = direct
+    assert k1 == k2                              # no duplicated rows
+    np.testing.assert_allclose(v1, v2, rtol=1e-8, atol=1e-10)
+    assert job["rows"] == len(k1)
+
+    # And a valid manifest whose DATA dir was lost must recompute, not skip
+    _sh.rmtree(os.path.join(out, "unit=1"))
+    job2 = run_features_resumable(spark, tdir, out, sdir, CFG, n_units=2)
+    assert job2["units_computed_this_run"] == [1]
+    k3, _ = _collect(read_feature_output(spark, out))
+    assert k3 == k2

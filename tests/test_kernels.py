@@ -393,3 +393,68 @@ def test_moments_list_of_columns_drops_null_rows(spark):
     assert m.n == 398
     close(m.mean, oracle.mean(kept))
     close(m.cov, oracle.cov(kept))
+
+
+def test_moments_element_null_and_ragged(spark):
+    """Element-level nulls are invisible to the list-level null_count —
+    np.asarray would render them NaN and silently poison every moment.
+    All moments paths drop such rows; ragged batches raise loudly instead
+    of the old divisible-length mis-reshape."""
+    from featureextraction_jl_spark.functions import compute_moments_bucketed
+    from featureextraction_jl_spark.functions.moments import compute_moments_expr
+
+    good = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    rows = [(v,) for v in good] + [([7.0, None],), (None,)]
+    df = spark.createDataFrame(rows, "vec array<double>").coalesce(1)
+    want_mean = np.mean(good, axis=0)
+    for m in (compute_moments(df, "vec", merge="driver"),
+              compute_moments_bucketed(df, "vec"),
+              compute_moments_expr(df, "vec", p=2)):
+        assert m.n == 3
+        np.testing.assert_allclose(m.mean, want_mean, rtol=1e-12)
+    # ragged: lengths {1, 3} with total 4 elements over 2 rows would have
+    # satisfied the old flat.size % n == 0 heuristic and silently reshaped
+    ragged = spark.createDataFrame([([1.0],), ([2.0, 3.0, 4.0],)],
+                                   "vec array<double>").coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        compute_moments(ragged, "vec", merge="driver")
+
+
+def test_grouped_moments_null_vectors_dropped(spark):
+    from featureextraction_jl_spark.functions.moments import compute_grouped_moments
+
+    rows = [("a", [1.0, 2.0]), ("a", None), ("a", [3.0, 4.0]),
+            ("b", None)]                       # group b: nothing valid
+    df = spark.createDataFrame(rows, "k string, vec array<double>")
+    got = {r["k"]: r for r in compute_grouped_moments(df, ["k"], "vec").collect()}
+    assert set(got) == {"a"}                   # all-null group emits nothing
+    assert got["a"]["n"] == 2
+    np.testing.assert_allclose(got["a"]["mean"], [2.0, 3.0], rtol=1e-12)
+
+
+def test_fit_pca_rejects_degenerate_n():
+    from featureextraction_jl_spark.functions.moments import Moments
+    from featureextraction_jl_spark.functions.pca import fit_pca
+
+    for n in (0, 1):
+        with pytest.raises(ValueError, match="n >= 2"):
+            fit_pca(Moments(n, np.zeros(3), np.zeros((3, 3))), k=2)
+
+
+def test_projection_udfs_propagate_nulls(spark):
+    from featureextraction_jl_spark.functions.moments import Moments, batch_moments
+    from featureextraction_jl_spark.functions.pca import (
+        fit_pca, inverse_udf, project_udf)
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 4))
+    model = fit_pca(batch_moments(X), k=4)
+    rows = [([float(v) for v in x],) for x in X[:5]] + [(None,)]
+    df = spark.createDataFrame(rows, "vec array<double>")
+    out = df.select(project_udf(model, "vec").alias("pc"))
+    got = out.withColumn("back", inverse_udf(model, "pc")).collect()
+    assert sum(r["pc"] is None for r in got) == 1
+    assert sum(r["back"] is None for r in got) == 1
+    for r in got:
+        if r["back"] is not None:
+            assert np.isfinite(r["back"]).all()
