@@ -299,3 +299,46 @@ def test_asof_null_right_ts_never_matches(spark):
                      direction="backward", keep_match_ts=True).collect()}
     assert out[1] == (None, None)                   # nothing at or before 10:00
     assert out[2][0] == 7.0 and out[2][1] is not None
+
+
+@st.composite
+def session_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    rows = []
+    for k in range(n_keys):
+        # integer-second gaps around the threshold, duplicates allowed
+        ts = draw(st.lists(st.integers(0, 400), min_size=1, max_size=20))
+        rows += [(f"k{k}", i, int(t)) for i, t in enumerate(sorted(ts))]
+    gap = draw(st.sampled_from([1, 30, 100]))
+    return rows, gap
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(session_case())
+def test_sessionize_property_matches_python(spark, case):
+    """Property gate for gap sessionization: random integer-second turn
+    times (duplicates included, broken by turn_idx) against a direct
+    Python fold — new session iff gap STRICTLY exceeds the threshold."""
+    rows, gap = case
+    base = pd.Timestamp(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, i, (base + pd.Timedelta(seconds=t)).to_pydatetime())
+         for k, i, t in rows], "key string, turn_idx long, ts timestamp")
+    got = {(r["key"], r["turn_idx"]): r["session_id"] for r in
+           sessionize(df, key="key", ts_col="ts", gap_seconds=float(gap),
+                      order=["ts", "turn_idx"]).collect()}
+
+    want = {}
+    by_key: dict[str, list] = {}
+    for k, i, t in rows:
+        by_key.setdefault(k, []).append((t, i))
+    for k, seq in by_key.items():
+        seq.sort()
+        sid, prev = 0, None
+        for t, i in seq:
+            if prev is not None and (t - prev) > gap:
+                sid += 1
+            want[(k, i)] = sid
+            prev = t
+    assert got == want
