@@ -342,3 +342,61 @@ def test_sessionize_property_matches_python(spark, case):
             want[(k, i)] = sid
             prev = t
     assert got == want
+
+
+@st.composite
+def fill_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    rows = []
+    for k in range(n_keys):
+        n = draw(st.integers(1, 15))
+        vals = draw(st.lists(st.one_of(st.none(),
+                                       st.floats(-100, 100,
+                                                 allow_nan=False)),
+                             min_size=n, max_size=n))
+        rows += [(f"k{k}", i, v) for i, v in enumerate(vals)]
+    return rows
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(fill_case())
+def test_fill_property_matches_pandas(spark, case):
+    """Property gate for forward/backward fill: random null patterns per
+    key (all-null and leading/trailing-null runs included) must equal
+    pandas groupby ffill/bfill."""
+    df = spark.createDataFrame(case, "key string, idx long, v double")
+    pdf = pd.DataFrame(case, columns=["key", "idx", "v"]).sort_values(
+        ["key", "idx"], kind="stable").reset_index(drop=True)
+    for fn, ref in ((forward_fill, "ffill"), (backward_fill, "bfill")):
+        got = fn(df, "key", "idx", ["v"]).toPandas().sort_values(
+            ["key", "idx"], kind="stable").reset_index(drop=True)
+        want = pdf.copy()
+        want["v"] = want.groupby("key")["v"].transform(ref)
+        g, w = got["v"].to_numpy(), want["v"].to_numpy()
+        match = (g == w) | (pd.isna(g) & pd.isna(w))
+        assert match.all(), f"{ref}: {got[~match]} vs {want[~match]}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(session_case())
+def test_rolling_rows_property_matches_pandas(spark, case):
+    """Property gate for the trailing rows-window mean: random turn times
+    per key (duplicates broken by turn_idx) must equal pandas
+    groupby.rolling(n, min_periods=1) over the same total order."""
+    rows, _ = case
+    df = spark.createDataFrame(
+        [(k, i, float(t)) for k, i, t in rows],
+        "key string, turn_idx long, v double")
+    # lookback_rows=2 -> frame of 3 rows incl. current == pandas rolling(3)
+    got = rolling_rows(df, "key", ["turn_idx"], {"v_avg": "v"},
+                       lookback_rows=2).toPandas().sort_values(
+        ["key", "turn_idx"], kind="stable").reset_index(drop=True)
+    pdf = pd.DataFrame(rows, columns=["key", "turn_idx", "v"]).astype(
+        {"v": "float64"}).sort_values(["key", "turn_idx"],
+                                      kind="stable").reset_index(drop=True)
+    want = pdf.groupby("key")["v"].rolling(3, min_periods=1) \
+        .mean().reset_index(drop=True)
+    np.testing.assert_allclose(got["v_avg"].to_numpy(),
+                               want.to_numpy(), rtol=1e-12)
