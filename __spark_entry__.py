@@ -108,7 +108,9 @@ def q01_agg_pricing(spark, sf):
 
 
 def q02_filter_predicates(spark, sf):
-    """D2 predicates: between / isin / like — pushed to the parquet scan."""
+    """D2 predicates: between / range / isin — pushed to the parquet scan.
+    (LIKE coverage lives in q15 where the strings are rich enough for a
+    non-trivial pattern.)"""
     li = _t(spark, sf, "lineitem")
     return (
         li.filter(
@@ -310,6 +312,8 @@ def q15_string_fns(spark, sf):
         F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
         F.levenshtein("lang", F.lit("en")).alias("lang_lev"),
         F.concat_ws("|", "lang", "source").alias("lang_source"),
+        # D2 LIKE coverage (q02's docstring points here): %infix% pattern
+        F.col("text").like("%the%").alias("has_the"),
     )
 
 
@@ -1326,7 +1330,8 @@ def oracle_sql() -> dict[str, str]:
                    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_ws_tokens,
                    COALESCE(regexp_extract(text, '^(\\w+)', 1), '') AS first_word,
                    levenshtein(lang, 'en') AS lang_lev,
-                   CONCAT_WS('|', lang, source) AS lang_source
+                   CONCAT_WS('|', lang, source) AS lang_source,
+                   text LIKE '%the%' AS has_the
             FROM documents
         """,
         "q16_datetime_fns": """

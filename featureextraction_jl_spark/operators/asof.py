@@ -36,6 +36,7 @@ from featureextraction_jl_spark.functions.timeutil import epoch_seconds
 
 _SIDE = "__asof_side"
 _MATCH_TS = "__asof_matched_ts"
+_PAY = "__asof_payload"
 
 
 def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
@@ -50,11 +51,21 @@ def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
     # payload to every left row that precedes the first real right row
     # (with matched_ts still NULL: a temporally untraceable, leakage-shaped
     # match).  Drop such rows before the union.
+    # The whole right payload rides ONE struct so the sweep carries it
+    # atomically: per-column last(ignorenulls) would otherwise pick an
+    # OLDER row's value for a column that is NULL on the true match while
+    # matched_ts advances to the newer row — a frankenrow mixing two right
+    # rows.  The struct is non-null for every right row (its ts is
+    # non-null), so last(ignorenulls) over it selects exactly the latest
+    # delivered right ROW, null payload fields included.
+    pay = F.struct(F.col(right_ts).alias(_MATCH_TS),
+                   *[F.col(c) for c in right_cols]).alias(_PAY)
     rhs = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias(left_ts),
-        F.col(right_ts).alias(_MATCH_TS),
-        *[F.col(c) for c in right_cols],
+        pay,
+        # flat copies only for the right_order sort keys
+        *[F.col(c) for c in right_order],
     ).withColumn(_SIDE, F.lit(0))
 
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -83,14 +94,11 @@ def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-          for c in right_cols + [_MATCH_TS]],
-    )
+        "*", F.last(_PAY, ignorenulls=True).over(w).alias(f"__f_{_PAY}"))
     out = filled.filter(F.col(_SIDE) == 1)
     for c in right_cols + [_MATCH_TS]:
-        out = out.drop(c).withColumnRenamed(f"__f_{c}", c)
-    return out.drop(_SIDE)
+        out = out.drop(c).withColumn(c, F.col(f"__f_{_PAY}").getField(c))
+    return out.drop(_SIDE, _PAY, f"__f_{_PAY}")
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,

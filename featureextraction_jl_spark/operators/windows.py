@@ -35,7 +35,9 @@ def with_lag_lead(df: DataFrame, key, order, cols: Sequence[str],
 
 def rolling_rows(df: DataFrame, key, order, aggs: dict[str, Column | str],
                  lookback_rows: int) -> DataFrame:
-    """Trailing row-count window: last ``lookback_rows`` rows up to current.
+    """Trailing row-count window: the ``lookback_rows`` PRECEDING rows plus
+    the current row (frame size ``lookback_rows + 1`` — rowsBetween bounds
+    are inclusive; pass n-1 for an n-row window).
 
     ``aggs`` maps output name -> aggregate Column (or a column name, meaning
     avg).  All aggregates share one frame => one Sort.

@@ -400,3 +400,22 @@ def test_rolling_rows_property_matches_pandas(spark, case):
         .mean().reset_index(drop=True)
     np.testing.assert_allclose(got["v_avg"].to_numpy(),
                                want.to_numpy(), rtol=1e-12)
+
+
+def test_asof_null_payload_stays_with_its_row(spark):
+    """The sweep must carry the matched right ROW atomically: per-column
+    last(ignorenulls) would pair an OLDER row's value with a NEWER row's
+    matched_ts when the true match's payload is NULL (a frankenrow)."""
+    from datetime import datetime
+
+    T = datetime.fromisoformat
+    left = spark.createDataFrame(
+        [(1, 1, T("2024-01-01 11:30:00"))], "k long, event long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, T("2024-01-01 10:00:00"), 5.0),
+         (1, T("2024-01-01 11:00:00"), None)],   # latest match, NULL value
+        "k long, rts timestamp, payload double")
+    row = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    direction="backward", keep_match_ts=True).collect()[0]
+    assert row["matched_ts"] == T("2024-01-01 11:00:00")
+    assert row["payload"] is None     # the 11:00 row's value, not 10:00's 5.0
