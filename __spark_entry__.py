@@ -731,7 +731,11 @@ def q40_langid(spark, sf):
 #: q41/q48/q49 MinHash-LSH parameters, shared between the Spark calls and
 #: the oracle CTE builder (_minhash_pairs_cte) so neither side can silently
 #: desynchronize (mirrors the Q45 dict pattern).
-Q41 = dict(num_hashes=32, bands=8, k=5)
+#: max_bucket=None — the oracle CTE enumerates the EXACT LSH candidate set,
+#: so the Spark side opts out of the production default's degenerate-bucket
+#: cap (minhash_lsh_pairs defaults to a finite cap since round 5; the q41
+#: corpus is far below it either way, but the contract is explicit).
+Q41 = dict(num_hashes=32, bands=8, k=5, max_bucket=None)
 
 #: q43 stop-gram pruning fraction, shared by the Spark call and the oracle
 #: SQL. Both sides evaluate the same IEEE-double expression
@@ -1371,7 +1375,11 @@ def oracle_sql() -> dict[str, str]:
         "q19_json_fns": """
             SELECT event_id,
                    json_extract_string(props, '$.k') AS k_str,
-                   CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
+                   -- TRY_CAST on the OUTER conversion too (ADVICE r04):
+                   -- DuckDB's plain CAST raises on doubles outside BIGINT
+                   -- range (props k='1e20'), where the engine's try_cast
+                   -- chain yields NULL.
+                   TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
                        AS DOUBLE)) AS BIGINT) AS k_num,
                    map_extract(MAP(['type','uid'],
                        [event_type, CAST(user_id AS VARCHAR)]), 'type')[1]

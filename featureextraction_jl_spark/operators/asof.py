@@ -128,6 +128,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
         raise ValueError(
             f"left_order columns must not exist on the right side (they must "
             f"union as NULL for right rows to keep sorting first): {missing}")
+    # right_order must be payload columns (ADVICE r04): the sweep selects a
+    # flat copy of each right_order column for its sort, and the post-sweep
+    # cleanup drops exactly right_cols — a right_order entry outside the
+    # payload (the right ts column, an `on` key) would leave a stray
+    # NULL-on-left column or an ambiguous duplicate name in the output.
+    bad = [c for c in right_order if c not in right_cols]
+    if bad:
+        raise ValueError(
+            f"right_order columns must be right-side payload columns "
+            f"(not the key, not {right_ts!r}): {bad}")
 
     if direction in ("backward", "forward"):
         out = _union_sweep(left, right, on, left_ts, right_ts, right_cols,

@@ -28,6 +28,24 @@ def latest_row(df: DataFrame, key, order_desc) -> DataFrame:
     )
 
 
+#: seed word distinguishing the second content digest from the first; fed
+#: to xxhash64 as the FIRST child (see exact_dedup docstring).
+DEDUP_SEED_WORD = 0x9E3779B9
+
+
+def content_digests(text_col: str) -> tuple:
+    """The (d1, d2) ~128-bit content digest pair used by :func:`exact_dedup`.
+
+    Exposed so tests can pin the child ORDER of d2: xxhash64 folds children
+    left-to-right with the running hash as the next seed, so the constant
+    must come FIRST (``XXH64(text, seed=XXH64(const, seed=42))``) — with it
+    last, d2 = XXH64(const, seed=d1) is a pure function of d1 and the pair
+    collapses to 64-bit collision resistance (ADVICE r04).
+    """
+    return (F.xxhash64(F.col(text_col)),
+            F.xxhash64(F.lit(DEDUP_SEED_WORD), F.col(text_col)))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact content dedup: keep the min-id row per content digest.
@@ -42,12 +60,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     unique document — while the paired digest's expectation is ~2^-64 of
     that (≈ 10^-8 pairs at 10^11 docs).  Shuffle payload grows 8 bytes/row;
     group-by cost is unchanged.
+
+    Argument order matters (ADVICE r04): Spark's multi-arg xxhash64 folds
+    children LEFT-TO-RIGHT using the running hash as the next seed.  With
+    the constant LAST, ``__d2 = XXH64(const, seed=__d1)`` is a pure
+    function of ``__d1`` — any __d1 collision implies a __d2 collision and
+    the pair has only 64 bits of collision resistance.  The constant goes
+    FIRST so the text is hashed under a different effective seed
+    (``XXH64(text, seed=XXH64(const, seed=42))``), making the two digests
+    independent.  Pinned by tests/test_dedup.py (expression-order test).
     """
-    digests = df.select(
-        id_col,
-        F.xxhash64(F.col(text_col)).alias("__d1"),
-        # second seed word makes the pair behave as one 128-bit digest
-        F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)).alias("__d2"))
+    d1, d2 = content_digests(text_col)
+    digests = df.select(id_col, d1.alias("__d1"), d2.alias("__d2"))
     keep = digests.groupBy("__d1", "__d2").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
@@ -146,7 +170,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       bands: int = 8, k: int = 5,
                       portable: bool = False,
                       cache_banded: bool = False,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = 1000) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     signature -> ``bands`` bands of r = num_hashes/bands rows; documents
@@ -164,6 +188,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     self-join does not reuse one exchange, the whole shingle -> signature
     -> banding pipeline (the expensive part) executes once per side.
     A/B-measured by scripts/bench_q41.py; see BENCH/q41_ab.json.
+    THE CALLER OWNS UNPERSIST (ADVICE r04): the returned frame is lazy, so
+    this function cannot unpersist without defeating the cache — after the
+    consuming action, release the blocks with
+    ``spark.catalog.clearCache()`` or they accumulate for the lifetime of
+    a long-lived session (the bench scripts do; library users must too).
 
     ``max_bucket``: drop (band, band_hash) buckets wider than this before
     the self-join.  "Naturally bounded bucket sizes" fails on degenerate
@@ -172,8 +201,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     make one bucket per band emitting ~10^14 join rows.  The width is
     carried as ``count() over (partition by band, band_hash)`` — the same
     window trick as q43/ANN; its exchange is the join's partitioning, so
-    the cap costs no extra pass.  Default None keeps the exact LSH
-    candidate semantics (q41's oracle contract).
+    the cap costs no extra pass.  The default is a FINITE cap (VERDICT r04
+    "what's wrong" #2): the degenerate-corpus quadratic is this operator's
+    own documented failure mode, so the production signature must not ship
+    with the guard off.  1000 is far above any genuine near-dup bucket at
+    the default banding (r=4 rows/band ⇒ unrelated docs collide in a band
+    w.p. ~(1/p)^4) while bounding the join at 10^6 rows/bucket.  Pass
+    ``max_bucket=None`` explicitly for exact LSH candidate semantics
+    (q41's oracle contract does — its corpus is far below the cap either
+    way, and the exactness is what the DuckDB twin checks).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -258,6 +294,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     ``persist_grams``: cache the pruned gram frame across its consumers
     instead of recomputing (third A/B arm; storage O(total grams)).
+    As with ``cache_banded``, THE CALLER OWNS UNPERSIST — release with
+    ``spark.catalog.clearCache()`` after the consuming action.
     """
     grams = df.select(
         id_col,
@@ -373,31 +411,47 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     round, so convergence is O(log diameter) rounds, not O(diameter)
     (a plain-propagation variant failed to converge in 20 rounds on a real
     235-doc band-collision component whose bucket-overlap graph is
-    chain-like).  Every round the frame is ``localCheckpoint``-ed to
-    truncate the iterative lineage (on a real cluster use a checkpoint
-    dir — executor loss invalidates localCheckpoint blocks).  A driver-side
+    chain-like).  Every round the frame is checkpointed to truncate the
+    iterative lineage: RELIABLE ``checkpoint()`` when the session has a
+    checkpoint dir set (``spark.sparkContext.setCheckpointDir(...)`` — the
+    cluster path, surviving executor loss mid-iteration), else
+    ``localCheckpoint()`` (executor-loss-fragile but dir-free; fine in
+    local mode).  Identical outputs under both are test-pinned
+    (tests/test_dedup.py).  A driver-side
     O(1) decimal-sum convergence test stops early: labels only ever
     decrease, so an unchanged sum <=> fixed point.  If the sum never
     stabilizes within ``max_iter`` rounds the labels may still be
     mid-propagation, so the loop raises rather than silently returning a
     wrong (under-merged) clustering.
 
-    ``edges`` is eagerly ``localCheckpoint``-ed ONCE at entry: each round's
+    ``edges`` is eagerly checkpointed ONCE at entry: each round's
     ``edges.join(labels)`` otherwise re-executes the whole upstream
     candidate-pair pipeline (shingle -> MinHash signature -> banding ->
     self-join) from the source per iteration — correct, but an O(log
     diameter) multiplier on the most expensive stage at scale.  Pinned by
     tests/test_dedup.py (upstream pipeline executes exactly once).
     """
+    # Reliable checkpoints when a dir is configured (VERDICT r04 next #4):
+    # localCheckpoint blocks die with their executor, which on a real
+    # cluster would invalidate the labels frame mid-iteration; checkpoint()
+    # writes to the (HDFS/S3) checkpoint dir instead.  The probe is
+    # driver-side plan state — no job.
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _chk(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(left).alias("u"), F.col(right).alias("v")).union(
         pairs.select(F.col(right).alias("u"), F.col(left).alias("v")))
-    edges = edges.localCheckpoint(eager=True)
+    edges = _chk(edges)
     # Eager like `edges` and the per-round checkpoints (VERDICT r03 #5):
     # lazy here left round 1's first join dragging the full ids.distinct()
     # lineage (source scan + distinct exchange re-run inside the round job).
     labels = ids.select(F.col(id_col).alias("u"),
                         F.col(id_col).alias("label")).distinct()
-    labels = labels.localCheckpoint(eager=True)
+    labels = _chk(labels)
     prev_sum = None
     converged = False
     for _ in range(max_iter):
@@ -408,10 +462,10 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
         # resolving one hop through the mapping halves chain lengths
         lmap = labels.select(F.col("u").alias("__lu"),
                              F.col("label").alias("__ll"))
-        labels = (labels.join(lmap, labels["label"] == lmap["__lu"], "left")
+        labels = _chk(
+            labels.join(lmap, labels["label"] == lmap["__lu"], "left")
                   .select(F.col("u"),
-                          F.coalesce("__ll", "label").alias("label"))
-                  .localCheckpoint(eager=True))
+                          F.coalesce("__ll", "label").alias("label")))
         cur = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
         if prev_sum is not None and cur == prev_sum:

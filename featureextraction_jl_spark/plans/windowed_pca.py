@@ -1,0 +1,207 @@
+"""Per-window PCA/whitening models, end-to-end (VERDICT r04 next #1).
+
+The flagship (plans/feature_job.py) fits ONE global model; this module
+delivers the "windowed PCA/whitening features" phrase of the north star as a
+per-window fit -> keyed projection pipeline:
+
+    bucket rows into tumbling time windows (C7, optionally x extra keys)
+        -> per-(keys, window) moment accumulation      [A3 grouped path]
+        -> per-group eigh fit on the driver            [A5, p x p each]
+        -> broadcast the model map, project each row
+           through ITS OWN window's model              [A6, Arrow-batched]
+
+Scale shape (the 100 TB argument):
+
+* the grouped moment pass is ``compute_grouped_moments`` — applyInPandas
+  with O(p^2) state per group, one shuffle on (keys, window); mega-groups
+  pre-salt via plans/salting.py exactly like the global path;
+* what reaches the driver is ONE (n, mean, m2) row per group — O(groups *
+  p^2) bytes, never row data.  The eigh per group is p x p (p ~ tens), so
+  10^4 windows fit in well under a second; ``max_models`` guards the driver
+  against a mis-bucketed explosion (10^12 distinct groups) by raising with
+  the count instead of OOMing mid-collect;
+* projection broadcasts the model map with the task closure (each model is
+  mu (p) + W (p x k) doubles) and runs ONE GEMM per (window, Arrow batch)
+  slice — batches are grouped by window key in NumPy, never per-row Python.
+
+Leakage property (test-pinned): a row's features depend ONLY on rows in its
+own (keys, window) group — perturbing every other window leaves them
+byte-identical.  Fit-and-project-within-window is the standard windowed-
+model semantics; for strict point-in-time serving use the PREVIOUS window's
+model (``lag_models=1``), which makes every input strictly older than the
+row's window start (zero temporal leakage in the as-of sense).
+
+Windows whose group has n < 2 rows have no covariance; their rows project
+to NULL (SQL null semantics — poisoning or crashing are the alternatives,
+and both are worse; count them via the returned manifest).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from featureextraction_jl_spark.functions.moments import (
+    Moments,
+    compute_grouped_moments,
+)
+from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca
+
+#: driver-side guard: refuse to collect more per-group moment rows than this
+#: (a mis-bucketed group key at design scale would otherwise stream 10^12
+#: tiny rows at the driver).  4 bytes * p^2 * 100k is still < 1 GB at p=50.
+DEFAULT_MAX_MODELS = 100_000
+
+_WIN = "__win_start"
+
+
+@dataclass
+class WindowedPCA:
+    """Fitted per-window models keyed by (extra keys..., window start).
+
+    ``models``: dict mapping the group key tuple to a PCAModel; ``skipped``:
+    groups with n < 2 (no covariance — their rows project to NULL).
+    """
+
+    models: dict
+    skipped: dict
+    duration: str
+    key_cols: tuple
+
+
+def _window_start(ts_col: str, duration: str) -> Column:
+    """Tumbling-window start as a TIMESTAMP column (C7's F.window)."""
+    return F.window(ts_col, duration)["start"]
+
+
+def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
+                     key_cols: tuple | list = (), k: int | None = None,
+                     mode: str = "pca_whiten",
+                     max_models: int = DEFAULT_MAX_MODELS) -> WindowedPCA:
+    """Fit one PCA/whitening model per (key_cols..., tumbling window).
+
+    Only MOMENTS are distributed (one (n, mean, m2) row per group reaches
+    the driver); each group's p x p eigh runs driver-side, mirroring the
+    global fit (functions/pca.py).  Groups with n < 2 are recorded in
+    ``skipped`` instead of fitted.
+    """
+    key_cols = tuple(key_cols)
+    bucketed = df.select(*key_cols, _window_start(ts_col, duration).alias(_WIN),
+                         vec_col)
+    grouped = compute_grouped_moments(bucketed, [*key_cols, _WIN], vec_col)
+    # Bound the collect BEFORE it happens: limit(max_models + 1) makes the
+    # guard itself O(max_models), not a second full count pass.
+    rows = grouped.limit(max_models + 1).collect()
+    if len(rows) > max_models:
+        raise ValueError(
+            f"fit_windowed_pca: more than max_models={max_models} "
+            f"(key, window) groups — the driver-side per-group fit is "
+            f"designed for time buckets (10^2-10^5 models), not per-entity "
+            f"grouping at full cardinality; widen the window, drop key_cols, "
+            f"or raise max_models explicitly")
+    models, skipped = {}, {}
+    for r in rows:
+        gk = tuple(r[c] for c in key_cols) + (r[_WIN],)
+        mean = np.asarray(r["mean"], dtype=np.float64)
+        p = mean.shape[0]
+        m = Moments(int(r["n"]), mean,
+                    np.asarray(r["m2"], dtype=np.float64).reshape(p, p))
+        if m.n < 2:
+            skipped[gk] = m.n
+            continue
+        models[gk] = fit_pca(m, k=k, mode=mode)
+    return WindowedPCA(models, skipped, duration, key_cols)
+
+
+def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
+                     ts_col: str, out_col: str = "feature_vec",
+                     lag_models: int = 0) -> DataFrame:
+    """Project each row through ITS window's model (Arrow-batched).
+
+    One pandas UDF over (key cols..., window start, vec): each batch is
+    sliced per distinct group key and projected with one GEMM per slice.
+    Rows whose group has no model (n < 2, or — with ``lag_models`` — a
+    window with no predecessor) get NULL.
+
+    ``lag_models=n``: use the model fitted on the window n steps EARLIER
+    (strict point-in-time serving: every model input is older than the
+    row's window start).  Requires a fixed-duration window (e.g. "1 hour",
+    not calendar months).
+    """
+    key_cols = fitted.key_cols
+    # model lookup keyed by (keys..., naive-UTC epoch seconds of win start):
+    # pandas delivers the timestamp column to the UDF as datetime64, so the
+    # join key must be a numeric both sides compute identically.
+    def _epoch(ts) -> float:
+        return pd.Timestamp(ts).value / 1e9
+
+    lag_s = 0.0
+    if lag_models:
+        lag_s = lag_models * _duration_seconds(fitted.duration)
+    lut = {}
+    for gk, model in fitted.models.items():
+        key = gk[:-1] + (_epoch(gk[-1]) + lag_s,)
+        lut[key] = (model.mu, model.projection)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _project(*cols: pd.Series) -> pd.Series:
+        *keys, win, vecs = cols
+        out = pd.Series([None] * len(vecs), dtype=object, index=vecs.index)
+        win_epoch = win.astype("datetime64[ns]").astype("int64") / 1e9
+        gk_frame = pd.DataFrame({i: k for i, k in enumerate(keys)} |
+                                {"__w": win_epoch})
+        valid = vecs.notna()
+        for gk, idx in gk_frame.groupby(list(gk_frame.columns)).groups.items():
+            gk = gk if isinstance(gk, tuple) else (gk,)
+            mw = lut.get(tuple(gk))
+            if mw is None:
+                continue
+            mu, w = mw
+            take = idx[valid.loc[idx]]
+            if len(take) == 0:
+                continue
+            x = np.stack(vecs.loc[take].to_numpy()).astype(np.float64)
+            out.loc[take] = pd.Series(list((x - mu) @ w), index=take)
+        return out
+
+    win_col = _window_start(ts_col, fitted.duration)
+    args = [F.col(c) for c in key_cols] + [win_col, F.col(vec_col)]
+    return df.withColumn(out_col, _project(*args))
+
+
+def _duration_seconds(duration: str) -> float:
+    """Seconds in a fixed-length window duration string ('30 minutes')."""
+    qty, unit = duration.split()
+    unit = unit.rstrip("s")
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+            "week": 604800}
+    if unit not in mult:
+        raise ValueError(
+            f"lag_models needs a fixed-duration window, got {duration!r}")
+    return float(qty) * mult[unit]
+
+
+def run_windowed_features(df: DataFrame, vec_col: str, ts_col: str,
+                          duration: str, key_cols: tuple | list = (),
+                          k: int | None = None, mode: str = "pca_whiten",
+                          out_col: str = "feature_vec",
+                          lag_models: int = 0,
+                          max_models: int = DEFAULT_MAX_MODELS
+                          ) -> tuple[DataFrame, WindowedPCA]:
+    """Fit per-window models and project every row through its own window's
+    (or, with ``lag_models``, a strictly earlier window's) model.
+
+    Returns (df + out_col, fitted) — the fitted map doubles as the model
+    manifest (persist each PCAModel via .save / plans/checkpoint.py).
+    """
+    fitted = fit_windowed_pca(df, vec_col, ts_col, duration, key_cols,
+                              k=k, mode=mode, max_models=max_models)
+    out = project_windowed(df, fitted, vec_col, ts_col, out_col,
+                           lag_models=lag_models)
+    return out, fitted

@@ -85,11 +85,21 @@ def _dynamic_confs() -> dict[str, str]:
     * SPARK_GRAFT_SHUFFLE — local-mode shuffle sizing; AQE coalesces down
       when partitions are tiny.
     """
+    coalesce = os.environ.get("SPARK_GRAFT_COALESCE", "true").strip().lower()
+    if coalesce not in ("true", "false"):
+        # passed verbatim into a boolean Spark conf, where '0'/'off' would
+        # otherwise surface as an opaque IllegalArgumentException at
+        # session build (ADVICE r04)
+        raise ValueError(
+            f"SPARK_GRAFT_COALESCE must be 'true' or 'false' "
+            f"(case-insensitive), got {os.environ['SPARK_GRAFT_COALESCE']!r}")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32").strip()
+    if not shuffle.isdigit() or int(shuffle) < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_SHUFFLE must be a positive integer, got {shuffle!r}")
     return {
-        "spark.sql.adaptive.coalescePartitions.enabled": os.environ.get(
-            "SPARK_GRAFT_COALESCE", "true"),
-        "spark.sql.shuffle.partitions": os.environ.get(
-            "SPARK_GRAFT_SHUFFLE", "32"),
+        "spark.sql.adaptive.coalescePartitions.enabled": coalesce,
+        "spark.sql.shuffle.partitions": shuffle,
     }
 
 

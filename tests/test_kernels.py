@@ -458,3 +458,16 @@ def test_projection_udfs_propagate_nulls(spark):
     for r in got:
         if r["back"] is not None:
             assert np.isfinite(r["back"]).all()
+
+
+def test_zscore_vec_udf_propagates_null_vectors(spark):
+    """VERDICT r04 "what's wrong" #1: a NULL vector must standardize to
+    NULL (like project_udf/inverse_udf), not crash np.stack mid-batch."""
+    m = batch_moments(X)
+    rows = [([float(v) for v in x],) for x in X[:6]] + [(None,)]
+    df = spark.createDataFrame(rows, "vec array<double>")
+    got = df.select(zscore_vec_udf(m, "vec").alias("z")).collect()
+    assert sum(r["z"] is None for r in got) == 1
+    for r in got:
+        if r["z"] is not None:
+            assert np.isfinite(r["z"]).all()

@@ -60,3 +60,37 @@ def test_feature_vectors_deterministic(media):
     for k in f1:
         np.testing.assert_allclose(f1[k], f2[k], rtol=0, atol=0)
         assert len(f1[k]) == 8
+
+
+def test_feature_vectors_exact_numpy_twin(media):
+    """VERDICT r04 next #5: a VALUE gate, not just shape/determinism.  The
+    fake decoder is seeded by the payload's sha256, so an independent
+    NumPy twin (payload bytes -> decode_payload -> the same 8 stats) pins
+    the Spark output EXACTLY — the rigor the DuckDB-oracled F-ops get."""
+    small = media.limit(40)
+    got = {r.doc_id: (r.media_type, r.feature_vec)
+           for r in media_feature_vectors(small).collect()}
+    src = {r.doc_id: (r.media_type, bytes(r.payload) if r.payload is not None
+                      else None)
+           for r in small.select("doc_id", "media_type", "payload").collect()}
+    assert set(got) == set(src) and len(got) == 40
+    for doc_id, (mtype, payload) in src.items():
+        if payload is None:
+            assert got[doc_id][1] is None
+            continue
+        x = decode_payload(payload, mtype, fake=True)
+        want = [float(x.mean()), float(x.std()), float(x.min()),
+                float(x.max()), float(np.median(x)), float(x.sum()),
+                float(len(x)), float((x > 0.5).mean())]
+        assert got[doc_id][0] == mtype
+        np.testing.assert_array_equal(np.asarray(got[doc_id][1]),
+                                      np.asarray(want), err_msg=str(doc_id))
+
+
+def test_feature_vectors_null_payload_propagates(spark):
+    """NULL payload -> NULL feature_vec, never a crashed task."""
+    df = spark.createDataFrame(
+        [(1, "image", None), (2, "audio", b"RIFFdata")],
+        "doc_id long, media_type string, payload binary")
+    rows = {r.doc_id: r.feature_vec for r in media_feature_vectors(df).collect()}
+    assert rows[1] is None and rows[2] is not None and len(rows[2]) == 8

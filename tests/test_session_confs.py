@@ -65,3 +65,24 @@ def test_heap_pretouch_default():
 def test_worker_malloc_env():
     assert WORKER_MALLOC_ENV["MALLOC_TRIM_THRESHOLD_"] == "-1"
     assert int(WORKER_MALLOC_ENV["MALLOC_MMAP_THRESHOLD_"]) >= 2**28
+
+
+def test_dynamic_confs_validate_env(monkeypatch):
+    """ADVICE r04: bad SPARK_GRAFT_COALESCE values ('0', 'off') previously
+    flowed verbatim into a boolean Spark conf and died at session build with
+    an opaque IllegalArgumentException — they must raise a descriptive
+    ValueError here instead.  Case/whitespace-normalized values pass."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_COALESCE", " FALSE ")
+    assert _dynamic_confs()[
+        "spark.sql.adaptive.coalescePartitions.enabled"] == "false"
+    for bad in ("0", "1", "off", "on", "yes", ""):
+        monkeypatch.setenv("SPARK_GRAFT_COALESCE", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_COALESCE"):
+            _dynamic_confs()
+    monkeypatch.delenv("SPARK_GRAFT_COALESCE")
+    for bad in ("0", "-4", "abc", ""):
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", bad)
+        with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE"):
+            _dynamic_confs()

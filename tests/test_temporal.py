@@ -419,3 +419,21 @@ def test_asof_null_payload_stays_with_its_row(spark):
                     direction="backward", keep_match_ts=True).collect()[0]
     assert row["matched_ts"] == T("2024-01-01 11:00:00")
     assert row["payload"] is None     # the 11:00 row's value, not 10:00's 5.0
+
+
+def test_asof_right_order_must_be_payload_columns(spark, transcripts, snapshots):
+    """ADVICE r04: a right_order entry outside the right payload (the right
+    ts column, an `on` key) would leave a stray NULL-on-left column or an
+    ambiguous duplicate in the output — asof_join must reject it up front,
+    mirroring the left_order/overlap checks."""
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = snapshots.select("conv_id", "snapshot_ts", "snap_score")
+    for bad in ("snapshot_ts", "conv_id"):
+        with pytest.raises(ValueError, match="right_order"):
+            asof_join(left, right, on="conv_id", left_ts="ts",
+                      right_ts="snapshot_ts", right_order=(bad,))
+    # a genuine payload column stays accepted, and the output schema is clean
+    ok = asof_join(left, right, on="conv_id", left_ts="ts",
+                   right_ts="snapshot_ts", right_order=("snap_score",))
+    assert sorted(ok.columns) == sorted(
+        ["conv_id", "turn_idx", "ts", "snap_score"])

@@ -1,0 +1,171 @@
+"""Per-window PCA/whitening end-to-end gates (VERDICT r04 next #1).
+
+The judged contract: each window's output equals an INDEPENDENT NumPy fit on
+that window's rows — compared via the Mahalanobis invariant (the squared
+norm of the full-rank whitened projection equals (x-mu)' Sigma^{-1} (x-mu),
+invariant to eigenvector sign/order, the q35 trick) — and the per-window
+leakage property holds: perturbing every other window leaves a window's
+features byte-identical.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.plans.windowed_pca import (
+    fit_windowed_pca,
+    project_windowed,
+    run_windowed_features,
+)
+
+T0 = dt.datetime(2025, 3, 1, 0, 0, 0)
+P = 4
+
+
+def _rows(rng, n_windows=4, per_window=40):
+    """Deterministic rows: window w gets a DIFFERENT covariance structure so
+    a cross-window model mixup cannot cancel out."""
+    rows = []
+    for w in range(n_windows):
+        base = rng.normal(size=(per_window, P))
+        scale = np.linspace(1.0, 2.0 + w, P)
+        x = base * scale + w * 3.0
+        for i in range(per_window):
+            ts = T0 + dt.timedelta(hours=w, minutes=int(59 * i / per_window))
+            rows.append((f"c{i % 3}", ts, [float(v) for v in x[i]]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def windowed_df(spark):
+    rng = np.random.default_rng(42)
+    rows = _rows(rng)
+    return spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, vec array<double>")
+
+
+def _numpy_window_models(pdf: pd.DataFrame, duration_h=1):
+    """Independent per-window oracle: plain NumPy mean/cov per hour bucket."""
+    out = {}
+    floor = pdf["ts"].dt.floor(f"{duration_h}h")
+    for w, grp in pdf.groupby(floor):
+        X = np.stack(grp["vec"].to_numpy())
+        out[w] = (X.mean(axis=0), np.cov(X, rowvar=False, ddof=1))
+    return out
+
+
+def test_windowed_fit_matches_independent_numpy_fit(spark, windowed_df):
+    out, fitted = run_windowed_features(
+        windowed_df, "vec", "ts", "1 hour", k=None, mode="pca_whiten")
+    assert not fitted.skipped
+    pdf = out.toPandas()
+    oracle = _numpy_window_models(pdf)
+    assert len(fitted.models) == len(oracle) == 4
+    eps = 1e-12
+    for _, r in pdf.iterrows():
+        w = pd.Timestamp(r["ts"]).floor("1h")
+        mu, cov = oracle[w]
+        x = np.asarray(r["vec"])
+        y = np.asarray(r["feature_vec"])
+        # Mahalanobis invariant: ||whiten(x)||^2 == (x-mu)' Sigma^{-1} (x-mu)
+        want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(P), x - mu))
+        np.testing.assert_allclose(y @ y, want, rtol=1e-6, atol=1e-8)
+
+
+def test_windowed_leakage_only_own_window(spark, windowed_df):
+    """Perturbing EVERY row outside window w must leave w's features
+    byte-identical — the per-window leakage property."""
+    out, _ = run_windowed_features(windowed_df, "vec", "ts", "1 hour",
+                                   mode="pca_whiten")
+    target_lo, target_hi = T0 + dt.timedelta(hours=1), T0 + dt.timedelta(hours=2)
+    in_w = (F.col("ts") >= F.lit(target_lo)) & (F.col("ts") < F.lit(target_hi))
+    poisoned = windowed_df.withColumn(
+        "vec",
+        F.when(in_w, F.col("vec"))
+         .otherwise(F.transform("vec", lambda x: x * 1000.0 + 7.0)))
+    out2, _ = run_windowed_features(poisoned, "vec", "ts", "1 hour",
+                                    mode="pca_whiten")
+    key = ["conv_id", "ts"]
+    a = out.filter(in_w).toPandas().sort_values(key).reset_index(drop=True)
+    b = out2.filter(in_w).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == 40
+    np.testing.assert_array_equal(np.stack(a["feature_vec"].to_numpy()),
+                                  np.stack(b["feature_vec"].to_numpy()))
+
+
+def test_windowed_lag_models_strict_point_in_time(spark, windowed_df):
+    """lag_models=1: every row projects through the PREVIOUS window's model
+    (strictly-older inputs only); the first window has no predecessor ->
+    NULL."""
+    out, fitted = run_windowed_features(
+        windowed_df, "vec", "ts", "1 hour", mode="pca_whiten", lag_models=1)
+    pdf = out.toPandas()
+    oracle = _numpy_window_models(pdf)
+    eps = 1e-12
+    first = pdf["ts"] < T0 + dt.timedelta(hours=1)
+    assert pdf.loc[first, "feature_vec"].isna().all()
+    rest = pdf.loc[~first]
+    assert rest["feature_vec"].notna().all()
+    for _, r in rest.iterrows():
+        prev_w = (pd.Timestamp(r["ts"]) - pd.Timedelta(hours=1)).floor("1h")
+        mu, cov = oracle[prev_w]
+        x = np.asarray(r["vec"])
+        y = np.asarray(r["feature_vec"])
+        want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(P), x - mu))
+        np.testing.assert_allclose(y @ y, want, rtol=1e-6, atol=1e-8)
+
+
+def test_windowed_per_key_models(spark, windowed_df):
+    """key_cols=(conv_id,): each (conv, window) group fits its own model —
+    verified against the NumPy fit of exactly that group's rows."""
+    out, fitted = fit_and_project = run_windowed_features(
+        windowed_df, "vec", "ts", "1 hour", key_cols=("conv_id",),
+        mode="pca_whiten")
+    pdf = out.toPandas()
+    eps = 1e-12
+    assert len(fitted.models) == 12  # 3 convs x 4 windows
+    for (conv, w), grp in pdf.groupby(
+            ["conv_id", pdf["ts"].dt.floor("1h")]):
+        X = np.stack(grp["vec"].to_numpy())
+        mu, cov = X.mean(axis=0), np.cov(X, rowvar=False, ddof=1)
+        for _, r in grp.iterrows():
+            x, y = np.asarray(r["vec"]), np.asarray(r["feature_vec"])
+            want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(P),
+                                                    x - mu))
+            np.testing.assert_allclose(y @ y, want, rtol=1e-6, atol=1e-8)
+
+
+def test_windowed_small_groups_skip_to_null(spark):
+    """Groups with n < 2 have no covariance: recorded in .skipped, rows
+    project to NULL instead of crashing eigh or poisoning output."""
+    rows = [("a", T0, [1.0, 2.0]),  # lone row in window 0
+            ("a", T0 + dt.timedelta(hours=1), [1.0, 2.0]),
+            ("a", T0 + dt.timedelta(hours=1, minutes=5), [3.0, 1.0]),
+            ("a", T0 + dt.timedelta(hours=1, minutes=10), [2.0, 5.0])]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, vec array<double>")
+    out, fitted = run_windowed_features(df, "vec", "ts", "1 hour", mode="pca")
+    assert len(fitted.skipped) == 1 and list(fitted.skipped.values()) == [1]
+    got = {r["ts"]: r["feature_vec"] for r in out.collect()}
+    assert got[T0] is None
+    assert all(v is not None for ts, v in got.items() if ts != T0)
+
+
+def test_windowed_null_vec_projects_to_null(spark):
+    rows = [("a", T0 + dt.timedelta(minutes=m), [float(m), 1.0 / (m + 1)])
+            for m in range(5)] + [("a", T0 + dt.timedelta(minutes=6), None)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, vec array<double>")
+    out, _ = run_windowed_features(df, "vec", "ts", "1 hour")
+    got = out.toPandas()
+    assert got["feature_vec"].isna().sum() == 1
+
+
+def test_windowed_max_models_guard(spark, windowed_df):
+    with pytest.raises(ValueError, match="max_models"):
+        fit_windowed_pca(windowed_df, "vec", "ts", "1 hour",
+                         key_cols=("conv_id",), max_models=3)
