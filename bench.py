@@ -58,14 +58,16 @@ def materialize(df) -> int:
     return 0
 
 
-def bench_flagship(spark, tdir: str, sdir: str) -> tuple[float, int]:
+def bench_flagship(spark, tdir: str, sdir: str,
+                   window_duration: str | None = None) -> tuple[float, int]:
     from featureextraction_jl_spark.plans import FeatureJobConfig, run_features
 
     t = spark.read.parquet(tdir)
     s = spark.read.parquet(sdir)
     n_turns = t.count()
     cfg = FeatureJobConfig(snap_dim=16, k=8, num_buckets=int(
-        os.environ.get("SPARK_GRAFT_BUCKETS", "64")))
+        os.environ.get("SPARK_GRAFT_BUCKETS", "64")),
+        window_duration=window_duration)
     t0 = time.monotonic()
     out, _model = run_features(t, s, cfg)
     materialize(out)
@@ -123,6 +125,14 @@ def main() -> None:
     for _ in range(reps):
         flag_sec, n_turns = bench_flagship(spark, tdir, sdir)
         samples.setdefault("flagship_feature_job", []).append(round(flag_sec, 3))
+        if suite:
+            # per-window PCA/whitening variant (plans/windowed_pca.py):
+            # ~280 one-day models over the same fixture.  Skipped in
+            # FLAGSHIP_ONLY mode — the scaling metric is defined over the
+            # global flagship alone.
+            win_sec, _ = bench_flagship(spark, tdir, sdir,
+                                        window_duration="1 day")
+            samples.setdefault("flagship_windowed", []).append(round(win_sec, 3))
         for name, fn in suite:
             t0 = time.monotonic()
             materialize(fn(spark, sf_dir))

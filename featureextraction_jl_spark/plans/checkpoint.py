@@ -156,6 +156,14 @@ def run_features_resumable(
     job recomputes from scratch.
     """
     cfg = cfg or FeatureJobConfig()
+    if cfg.window_duration is not None:
+        # The resumable manifest persists ONE global model (.npz); a
+        # per-window model map needs a per-window manifest format.  Refuse
+        # loudly rather than silently fitting a global model.
+        raise NotImplementedError(
+            "run_features_resumable persists a single global model; "
+            "window_duration (per-window models) is supported by "
+            "run_features / plans.windowed_pca.run_windowed_features")
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
 

@@ -60,6 +60,13 @@ class FeatureJobConfig:
     snap_dim: int = 16              # dim of snapshot vectors
     rolling_turns: int = 8
     cache_prepared: bool = False    # persist the pre-kernel frame between passes
+    #: fit one model PER TUMBLING WINDOW of this duration (e.g. "1 hour")
+    #: instead of one global model — the "windowed PCA/whitening features"
+    #: path (plans/windowed_pca.py).  None = global model (default).
+    window_duration: str | None = None
+    #: with window_duration: project through the model fitted ``n`` windows
+    #: EARLIER (strict point-in-time serving; first windows -> NULL).
+    window_lag_models: int = 0
 
 
 ORDER = ["ts", "turn_idx"]  # deterministic total order under duplicate ts
@@ -129,14 +136,45 @@ def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
 
 def run_features(transcripts: DataFrame, snapshots: DataFrame | None = None,
                  cfg: FeatureJobConfig | None = None,
-                 model: PCAModel | None = None) -> tuple[DataFrame, PCAModel]:
+                 model=None) -> tuple[DataFrame, "PCAModel"]:
     """Full flagship job; returns (features DataFrame, fitted model).
 
     Pass a pre-fitted ``model`` to skip the moment pass (transform-only mode,
-    e.g. on resume or on a new day's partition).
+    e.g. on resume or on a new day's partition).  With
+    ``cfg.window_duration`` set, the fitted model is a
+    :class:`~featureextraction_jl_spark.plans.windowed_pca.WindowedPCA`
+    (one model per tumbling window) instead of a global PCAModel.
     """
     cfg = cfg or FeatureJobConfig()
     prepared = build_turn_features(transcripts, snapshots, cfg)
+
+    if cfg.window_duration is not None:
+        # Per-window models (north star's "windowed PCA/whitening features"):
+        # same prepared chain, but the fit is per tumbling window and every
+        # row projects through its OWN window's model (or an earlier one
+        # with window_lag_models).  ``model`` may be a pre-fitted
+        # WindowedPCA (transform-only mode, mirroring the global path).
+        from featureextraction_jl_spark.plans.windowed_pca import (
+            WindowedPCA,
+            fit_windowed_pca,
+            project_windowed,
+        )
+
+        if model is None:
+            model = fit_windowed_pca(prepared, "raw_vec", "ts",
+                                     cfg.window_duration, k=cfg.k,
+                                     mode=cfg.mode)
+        elif not isinstance(model, WindowedPCA):
+            raise TypeError(
+                "window_duration is set but the pre-fitted model is a "
+                f"global {type(model).__name__}; pass a WindowedPCA")
+        out = project_windowed(prepared, model, "raw_vec", "ts",
+                               out_col="feature_vec",
+                               lag_models=cfg.window_lag_models).select(
+            "conv_id", "turn_idx", "ts", "role", "text", "tool",
+            "session_id", "feature_vec")
+        return out, model
+
     if model is None:
         # Fit pass reads only raw_vec (column-pruned chain); the projection
         # pass recomputes the chain with the text payload.  Measured: caching

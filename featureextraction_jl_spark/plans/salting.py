@@ -66,7 +66,8 @@ def detect_heavy_keys(df: DataFrame, key: str, threshold_rows: int,
 def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
                            heavy_threshold: int = 100_000,
                            num_salts: int = 32,
-                           sample_fraction: float | None = 0.05) -> DataFrame:
+                           sample_fraction: float | None = 0.05,
+                           salt_all: bool = False) -> DataFrame:
     """Per-key moments with exact skew salting.
 
     Returns (key, n, mean array<double>, m2 array<double>) — identical to
@@ -77,8 +78,15 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
     outcome because salting only changes the partial grouping, never the
     Chan-merged total.  Pass ``sample_fraction=None`` on tiny inputs where
     a 5% sample is too small to see the threshold.
+
+    ``salt_all=True`` skips the probe entirely and salts EVERY row — for
+    keys that are heavy BY CONSTRUCTION (tumbling time windows: a handful
+    of groups each holding millions of rows, plans/windowed_pca.py).  The
+    partial stage then has key-cardinality x num_salts bounded groups and
+    full parallelism instead of one applyInPandas task per giant group.
     """
-    heavy = detect_heavy_keys(df, key, heavy_threshold, sample_fraction)
+    heavy = [] if salt_all else detect_heavy_keys(df, key, heavy_threshold,
+                                                  sample_fraction)
     # Null-safe heavy test: isin() is NULL (not false) for a NULL key and
     # for a list containing None, and NULL is a classic dominant skew key —
     # falling through to salt=0 would funnel the whole null group into ONE
@@ -94,13 +102,15 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
     # gives every recomputation the same salt; duplicate rows sharing a
     # salt is harmless (moments are summed) and does not concentrate load
     # unless the same exact row repeats ~group-size times.
-    salt = (
-        F.when(F.coalesce(is_heavy, F.lit(False)),
-               F.pmod(F.xxhash64(F.col(key), F.col(vec_col), F.lit(17)),
-                      F.lit(num_salts)))
-        .otherwise(F.lit(0))
-        .cast("int")
-    ) if heavy else F.lit(0)
+    content_salt = F.pmod(F.xxhash64(F.col(key), F.col(vec_col), F.lit(17)),
+                          F.lit(num_salts)).cast("int")
+    if salt_all:
+        salt = content_salt
+    elif heavy:
+        salt = (F.when(F.coalesce(is_heavy, F.lit(False)), content_salt)
+                .otherwise(F.lit(0)).cast("int"))
+    else:
+        salt = F.lit(0)
     salted = df.select(key, F.col(vec_col).alias("__vec"), salt.alias("__salt"))
 
     # stage 1: bounded partials per (key, salt)

@@ -12,9 +12,13 @@ per-window fit -> keyed projection pipeline:
 
 Scale shape (the 100 TB argument):
 
-* the grouped moment pass is ``compute_grouped_moments`` — applyInPandas
-  with O(p^2) state per group, one shuffle on (keys, window); mega-groups
-  pre-salt via plans/salting.py exactly like the global path;
+* the grouped moment pass defaults to the SALTED two-stage plan for pure
+  time windows (``salted_grouped_moments(salt_all=True)``: partials per
+  (window, content salt) -> tiny per-window re-merge) because time-window
+  groups are heavy by construction — a direct per-group applyInPandas
+  would cap parallelism at the window count and materialize whole windows
+  in single tasks.  Keyed windows (per-conversation) have bounded groups
+  and use ``compute_grouped_moments`` directly;
 * what reaches the driver is ONE (n, mean, m2) row per group — O(groups *
   p^2) bytes, never row data.  The eigh per group is p x p (p ~ tens), so
   10^4 windows fit in well under a second; ``max_models`` guards the driver
@@ -83,18 +87,51 @@ def _window_start(ts_col: str, duration: str) -> Column:
 def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
                      key_cols: tuple | list = (), k: int | None = None,
                      mode: str = "pca_whiten",
-                     max_models: int = DEFAULT_MAX_MODELS) -> WindowedPCA:
+                     max_models: int = DEFAULT_MAX_MODELS,
+                     moments_strategy: str = "auto") -> WindowedPCA:
     """Fit one PCA/whitening model per (key_cols..., tumbling window).
 
     Only MOMENTS are distributed (one (n, mean, m2) row per group reaches
     the driver); each group's p x p eigh runs driver-side, mirroring the
     global fit (functions/pca.py).  Groups with n < 2 are recorded in
     ``skipped`` instead of fitted.
+
+    ``moments_strategy`` picks the grouped-moment plan (both are exact —
+    the Chan merge is associative; equivalence is test-pinned):
+
+    * ``"salted"`` — two-stage via ``salted_grouped_moments(salt_all=True)``:
+      partials per (window, content salt), tiny re-merge per window.  THE
+      pure-time-window scale path: with key_cols=(), the groups are heavy
+      by construction (a handful of windows x millions of rows each), so a
+      direct applyInPandas would materialize whole windows in single tasks
+      and cap parallelism at the window count.
+    * ``"grouped"`` — direct ``compute_grouped_moments``: one applyInPandas
+      task per group.  Right when key_cols makes groups small/numerous
+      (per-conversation windows).
+    * ``"auto"`` — salted when ``key_cols`` is empty, grouped otherwise.
     """
     key_cols = tuple(key_cols)
     bucketed = df.select(*key_cols, _window_start(ts_col, duration).alias(_WIN),
                          vec_col)
-    grouped = compute_grouped_moments(bucketed, [*key_cols, _WIN], vec_col)
+    if moments_strategy == "auto":
+        moments_strategy = "salted" if not key_cols else "grouped"
+    if moments_strategy == "salted":
+        if key_cols:
+            raise ValueError(
+                "moments_strategy='salted' supports pure time windows only "
+                "(key_cols=()); keyed windows have bounded groups — use "
+                "'grouped'")
+        from featureextraction_jl_spark.plans.salting import (
+            salted_grouped_moments,
+        )
+        grouped = salted_grouped_moments(bucketed, _WIN, vec_col,
+                                         salt_all=True)
+    elif moments_strategy == "grouped":
+        grouped = compute_grouped_moments(bucketed, [*key_cols, _WIN], vec_col)
+    else:
+        raise ValueError(
+            f"moments_strategy must be auto|salted|grouped, got "
+            f"{moments_strategy!r}")
     # Bound the collect BEFORE it happens: limit(max_models + 1) makes the
     # guard itself O(max_models), not a second full count pass.
     rows = grouped.limit(max_models + 1).collect()

@@ -61,10 +61,15 @@ def main() -> int:
     ap.add_argument("--factor", type=float, default=1.5,
                     help="max allowed per-query slowdown (default 1.5)")
     args = ap.parse_args()
-    with open(args.prev) as f:
-        prev = json.load(f)
-    with open(args.cur) as f:
-        cur = json.load(f)
+    def load(path: str) -> dict:
+        with open(path) as f:
+            d = json.load(f)
+        # the driver's BENCH_r{N}.json wraps bench.py's line under "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return d
+
+    prev, cur = load(args.prev), load(args.cur)
     for d, name in ((prev, args.prev), (cur, args.cur)):
         if "queries" not in d:
             print(f"ERROR: {name} has no 'queries' map — not a bench.py JSON")

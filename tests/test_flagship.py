@@ -230,3 +230,51 @@ def test_salted_moments_degenerate_corpus_sampled_probe(spark):
     assert plain["n"] == salted["n"] == 100_000
     np.testing.assert_allclose(plain["mean"], salted["mean"], rtol=1e-10)
     np.testing.assert_allclose(plain["m2"], salted["m2"], rtol=1e-8)
+
+
+def test_flagship_windowed_models_option(spark, data):
+    """cfg.window_duration: the flagship fits one model PER TUMBLING WINDOW
+    and every row projects through its own window's model — verified via
+    the Mahalanobis invariant against an independent NumPy fit on exactly
+    that window's raw_vec rows (the q35 trick, per window)."""
+    import datetime as dt
+
+    from featureextraction_jl_spark.plans.feature_job import build_turn_features
+    from featureextraction_jl_spark.plans.windowed_pca import WindowedPCA
+
+    t, s = data
+    cfg = FeatureJobConfig(snap_dim=4, k=None, mode="pca_whiten",
+                           num_buckets=8, window_duration="7 days")
+    out, fitted = run_features(t, s, cfg)
+    assert isinstance(fitted, WindowedPCA)
+    assert len(fitted.models) > 1  # data genuinely spans several windows
+
+    raw = build_turn_features(t, s, CFG).select(
+        "conv_id", "turn_idx", "ts", "raw_vec").toPandas()
+    feats = out.select("conv_id", "turn_idx", "feature_vec").toPandas()
+    pdf = raw.merge(feats, on=["conv_id", "turn_idx"], validate="1:1")
+    assert pdf["feature_vec"].notna().all()
+    eps = 1e-12
+    n_checked = 0
+    for w, grp in pdf.groupby(pdf["ts"].dt.floor("7D")):
+        X = np.stack(grp["raw_vec"].to_numpy())
+        if len(X) < 2:
+            continue
+        mu = X.mean(axis=0)
+        cov = np.cov(X, rowvar=False, ddof=1)
+        p = X.shape[1]
+        sample = grp.head(25)
+        for _, r in sample.iterrows():
+            x = np.asarray(r["raw_vec"])
+            y = np.asarray(r["feature_vec"])
+            want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(p),
+                                                    x - mu))
+            np.testing.assert_allclose(y @ y, want, rtol=1e-5, atol=1e-6)
+            n_checked += 1
+    assert n_checked >= 50
+
+    # resumable path refuses windowed configs instead of silently fitting
+    # a global model
+    from featureextraction_jl_spark.plans.checkpoint import run_features_resumable
+    with pytest.raises(NotImplementedError, match="window_duration"):
+        run_features_resumable(spark, "/nonexistent", "/nonexistent", cfg=cfg)
