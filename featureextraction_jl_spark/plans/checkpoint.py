@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca
 from featureextraction_jl_spark.functions.moments import compute_moments
+from featureextraction_jl_spark.plans.windowed_pca import WindowedPCA
 from featureextraction_jl_spark.plans.feature_job import (
     FeatureJobConfig,
     build_turn_features,
@@ -156,14 +157,6 @@ def run_features_resumable(
     job recomputes from scratch.
     """
     cfg = cfg or FeatureJobConfig()
-    if cfg.window_duration is not None:
-        # The resumable manifest persists ONE global model (.npz); a
-        # per-window model map needs a per-window manifest format.  Refuse
-        # loudly rather than silently fitting a global model.
-        raise NotImplementedError(
-            "run_features_resumable persists a single global model; "
-            "window_duration (per-window models) is supported by "
-            "run_features / plans.windowed_pca.run_windowed_features")
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
 
@@ -178,11 +171,42 @@ def run_features_resumable(
     snapshots = spark.read.parquet(snapshots_path) if snapshots_path else None
 
     # ---- fit stage -------------------------------------------------------
-    model_path = os.path.join(mdir, "model.npz")
+    # Global mode persists ONE model.npz; windowed mode (cfg.window_duration)
+    # persists a wmodels/ directory (one .npz per window + index.json — the
+    # WindowedPCA manifest).  config_hash covers window_duration, so
+    # switching modes invalidates every manifest.
+    windowed = cfg.window_duration is not None
+    model_path = os.path.join(mdir, "wmodels" if windowed else "model.npz")
+    model_ready = os.path.exists(
+        os.path.join(model_path, "index.json") if windowed else model_path)
     fit_man_path = os.path.join(mdir, "fit.json")
     fit_man = _read_json(fit_man_path)
-    if valid(fit_man) and os.path.exists(model_path):
-        model = PCAModel.load(model_path)
+    if valid(fit_man) and model_ready:
+        model = (WindowedPCA.load(model_path) if windowed
+                 else PCAModel.load(model_path))
+    elif windowed:
+        from featureextraction_jl_spark.plans.windowed_pca import (
+            fit_windowed_pca,
+        )
+
+        t0 = time.monotonic()
+        prepared = build_turn_features(transcripts, snapshots, cfg)
+        model = fit_windowed_pca(prepared, "raw_vec", "ts",
+                                 cfg.window_duration, k=cfg.k, mode=cfg.mode)
+        model.save(model_path)
+        fit_man = {
+            "stage": "fit",
+            "input_fingerprint": fp,
+            "config_hash": chash,
+            "windowed": True,
+            "window_duration": cfg.window_duration,
+            "n_rows": int(sum(model.counts.values())
+                          + sum(model.skipped.values())),
+            "windows_fitted": len(model.models),
+            "windows_skipped": len(model.skipped),
+            "wall_s": round(time.monotonic() - t0, 3),
+        }
+        _write_json_atomic(fit_man_path, fit_man)
     else:
         t0 = time.monotonic()
         prepared = build_turn_features(transcripts, snapshots, cfg)

@@ -77,6 +77,76 @@ class WindowedPCA:
     skipped: dict
     duration: str
     key_cols: tuple
+    #: rows accumulated per fitted group (manifests/metrics; not required
+    #: for projection)
+    counts: dict = None
+
+    def save(self, dir_path: str) -> None:
+        """Persist as a directory: one ``.npz`` per window model plus an
+        ``index.json`` manifest (duration, key_cols, skipped, key->file map)
+        — the windowed twin of ``PCAModel.save`` so a transform-only rerun
+        (``run_features(model=WindowedPCA.load(...))``) skips the fit pass.
+
+        Group-key serialization: JSON list, window start as ISO-8601.
+        """
+        import json
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        counts = self.counts or {}
+        index = {"duration": self.duration,
+                 "key_cols": list(self.key_cols),
+                 "skipped": [[_key_to_json(gk), n]
+                             for gk, n in self.skipped.items()],
+                 "models": []}
+        for i, (gk, model) in enumerate(sorted(self.models.items(),
+                                               key=lambda kv: str(kv[0]))):
+            fname = f"model_{i:06d}.npz"
+            model.save(os.path.join(dir_path, fname))
+            index["models"].append([_key_to_json(gk), fname,
+                                    counts.get(gk)])
+        tmp = os.path.join(dir_path, "index.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(index, f)
+        os.replace(tmp, os.path.join(dir_path, "index.json"))
+
+    @staticmethod
+    def load(dir_path: str) -> "WindowedPCA":
+        import json
+        import os
+
+        with open(os.path.join(dir_path, "index.json")) as f:
+            index = json.load(f)
+        models, counts = {}, {}
+        for jk, fname, n in index["models"]:
+            gk = _key_from_json(jk)
+            models[gk] = PCAModel.load(os.path.join(dir_path, fname))
+            if n is not None:
+                counts[gk] = n
+        skipped = {_key_from_json(jk): n for jk, n in index["skipped"]}
+        return WindowedPCA(models, skipped, index["duration"],
+                           tuple(index["key_cols"]), counts)
+
+
+def _key_to_json(gk: tuple) -> list:
+    """Group key -> JSON-safe list; the trailing window start becomes ISO."""
+    import datetime as _dt
+
+    out = []
+    for v in gk:
+        if isinstance(v, _dt.datetime):
+            out.append({"ts": v.isoformat()})
+        else:
+            out.append(v)
+    return out
+
+
+def _key_from_json(jk: list) -> tuple:
+    import datetime as _dt
+
+    return tuple(_dt.datetime.fromisoformat(v["ts"])
+                 if isinstance(v, dict) and "ts" in v else v
+                 for v in jk)
 
 
 def _window_start(ts_col: str, duration: str) -> Column:
@@ -142,7 +212,7 @@ def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
             f"designed for time buckets (10^2-10^5 models), not per-entity "
             f"grouping at full cardinality; widen the window, drop key_cols, "
             f"or raise max_models explicitly")
-    models, skipped = {}, {}
+    models, skipped, counts = {}, {}, {}
     for r in rows:
         gk = tuple(r[c] for c in key_cols) + (r[_WIN],)
         mean = np.asarray(r["mean"], dtype=np.float64)
@@ -153,7 +223,8 @@ def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
             skipped[gk] = m.n
             continue
         models[gk] = fit_pca(m, k=k, mode=mode)
-    return WindowedPCA(models, skipped, duration, key_cols)
+        counts[gk] = m.n
+    return WindowedPCA(models, skipped, duration, key_cols, counts)
 
 
 def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,

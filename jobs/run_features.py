@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    choices=["pca", "pca_whiten", "zca"])
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument("--snap-dim", type=int, default=16)
+    p.add_argument("--window", default=None, metavar="DURATION",
+                   help="fit one PCA/whitening model per tumbling window of "
+                        "this duration (e.g. '1 day') instead of one global "
+                        "model; persisted as the wmodels/ manifest dir")
     return p.parse_args(argv)
 
 
@@ -62,7 +66,8 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     cfg = FeatureJobConfig(gap_seconds=args.gap_seconds, num_buckets=args.buckets,
-                           k=args.k, mode=args.mode, snap_dim=args.snap_dim)
+                           k=args.k, mode=args.mode, snap_dim=args.snap_dim,
+                           window_duration=args.window)
     job = run_features_resumable(spark, args.transcripts, args.out,
                                  snapshots_path=args.snapshots, cfg=cfg,
                                  n_units=args.units)

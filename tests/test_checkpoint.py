@@ -121,3 +121,39 @@ def test_shrinking_n_units_removes_stale_outputs(spark, inputs, direct, tmp_path
     assert job2["units_computed_this_run"] == [1]
     k3, _ = _collect(read_feature_output(spark, out))
     assert k3 == k2
+
+
+def test_resumable_windowed_equals_direct_and_resumes(spark, inputs, tmp_path):
+    """Windowed resumable mode (cfg.window_duration): the per-window model
+    map persists as a wmodels/ manifest directory, the job output equals a
+    direct windowed run_features, and a second invocation resumes every
+    unit AND skips the fit (loads the saved WindowedPCA)."""
+    tdir, sdir = inputs
+    wcfg = FeatureJobConfig(num_buckets=8, k=None, mode="pca_whiten",
+                            snap_dim=16, window_duration="7 days")
+    out = str(tmp_path / "wout")
+    job = run_features_resumable(spark, tdir, out, sdir, wcfg, n_units=N_UNITS)
+    assert job["fit"]["windowed"] is True
+    assert job["fit"]["windows_fitted"] >= 2
+    idx = os.path.join(out, "_manifest", "wmodels", "index.json")
+    assert os.path.exists(idx)
+    with open(idx) as f:
+        assert len(json.load(f)["models"]) == job["fit"]["windows_fitted"]
+
+    got_keys, got_vecs = _collect(read_feature_output(spark, out))
+    want, _ = run_features(spark.read.parquet(tdir),
+                           spark.read.parquet(sdir), wcfg)
+    want_keys, want_vecs = _collect(want)
+    assert got_keys == want_keys
+    # atol 5e-9, not the global test's 1e-10: k=None FULL-RANK whitening
+    # amplifies near-singular directions by 1/sqrt(lambda+eps), so the
+    # direct run's independently re-accumulated moments (different Chan
+    # partial order) legitimately wiggle those ~1e-9-magnitude components
+    # by a few 1e-10.
+    np.testing.assert_allclose(np.stack(got_vecs), np.stack(want_vecs),
+                               rtol=1e-6, atol=5e-9)
+
+    job2 = run_features_resumable(spark, tdir, out, sdir, wcfg, n_units=N_UNITS)
+    assert job2["units_resumed"] == list(range(N_UNITS))
+    assert job2["units_computed_this_run"] == []
+    assert job2["rows"] == job["rows"]

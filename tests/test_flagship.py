@@ -273,8 +273,23 @@ def test_flagship_windowed_models_option(spark, data):
             n_checked += 1
     assert n_checked >= 50
 
-    # resumable path refuses windowed configs instead of silently fitting
-    # a global model
-    from featureextraction_jl_spark.plans.checkpoint import run_features_resumable
-    with pytest.raises(NotImplementedError, match="window_duration"):
-        run_features_resumable(spark, "/nonexistent", "/nonexistent", cfg=cfg)
+
+
+def test_flagship_windowed_plan_invariants(spark, data):
+    """The windowed projection pass must keep the global flagship's plan
+    shape: the as-of union window's hash(conv_id) exchange stays the only
+    full-data shuffle (window-start derivation and the keyed projection are
+    NARROW — no extra Exchange, no extra Sort, no row-at-a-time Python)."""
+    import re
+
+    t, s = data
+    cfg = FeatureJobConfig(snap_dim=4, k=None, mode="pca_whiten",
+                           num_buckets=8, window_duration="7 days")
+    out, _fitted = run_features(t, s, cfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 3, f"plan has {n_exchanges} Exchanges:\n{plan[:4000]}"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
+    assert "ArrowEvalPython" in plan, "projection should be Arrow-batched"
+    n_sorts = len(re.findall(r"\bSort \[", plan))
+    assert n_sorts <= 1, f"plan has {n_sorts} Sorts:\n{plan[:4000]}"

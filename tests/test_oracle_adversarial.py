@@ -59,6 +59,15 @@ def adv_dir(tmp_path_factory):
         (6, "2024-01-02 09:00:00", 2, "purchase",  10.0, "{}"),
         (7, "2024-01-02 10:00:00", 2, "view",       0.0, None),
         (8, "2024-01-02 11:00:00", 2, "purchase",  20.0, '{"k": null}'),
+        # k parses to a double far outside BIGINT range: the engine's
+        # try_cast chain yields NULL; the oracle needs TRY_CAST on the OUTER
+        # conversion too or DuckDB's plain CAST(trunc(1e20) AS BIGINT)
+        # raises (ADVICE r04).  A JSON STRING, not a bare number — engines
+        # re-serialize extracted JSON numbers differently ("1.0E20" vs
+        # "100000000000000000000.0"), which would desync k_str instead of
+        # testing the cast.  A "view" row so as-of purchase matches are
+        # untouched.
+        (9, "2024-01-02 12:00:00", 2, "view",       0.0, '{"k": "1e20"}'),
     ]
     events = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -135,6 +144,7 @@ def test_planted_semantics(spark, adv_dir):
     assert q19[2] == 1              # 1.99 truncates toward zero
     assert q19[4] == -2             # -2.5 truncates toward zero
     assert q19[3] is None and q19[6] is None  # non-numeric / missing -> NULL
+    assert q19[9] is None           # 1e20 overflows BIGINT -> NULL, no error
     q07 = QUERIES["q07_range_join"](spark, adv_dir).collect()
     assert q07[0]["n_shipped_60d"] == 2       # 14:00-on-day-60 excluded
     q47 = {r["doc_id"]: r for r in

@@ -192,3 +192,50 @@ def test_windowed_moments_strategies_equivalent(spark, windowed_df):
     with pytest.raises(ValueError, match="salted"):
         fit_windowed_pca(windowed_df, "vec", "ts", "1 hour",
                          key_cols=("conv_id",), moments_strategy="salted")
+
+
+def test_windowed_model_save_load_roundtrip(spark, windowed_df, tmp_path):
+    """WindowedPCA.save/load: a transform-only rerun with the loaded model
+    map must produce byte-identical features (the windowed twin of the
+    PCAModel .npz manifest — enables skip-the-fit resumes)."""
+    out, fitted = run_windowed_features(windowed_df, "vec", "ts", "1 hour",
+                                        mode="pca_whiten")
+    d = str(tmp_path / "wmodels")
+    fitted.save(d)
+    from featureextraction_jl_spark.plans.windowed_pca import WindowedPCA
+
+    back = WindowedPCA.load(d)
+    assert back.duration == fitted.duration
+    assert back.key_cols == fitted.key_cols
+    assert back.models.keys() == fitted.models.keys()
+    assert back.skipped == fitted.skipped
+    out2 = project_windowed(windowed_df, back, "vec", "ts")
+    key = ["conv_id", "ts"]
+    a = out.toPandas().sort_values(key).reset_index(drop=True)
+    b = out2.toPandas().sort_values(key).reset_index(drop=True)
+    np.testing.assert_array_equal(np.stack(a["feature_vec"].to_numpy()),
+                                  np.stack(b["feature_vec"].to_numpy()))
+
+
+def test_windowed_model_save_load_keyed_and_skipped(spark, tmp_path):
+    """Round-trip with extra key cols AND a skipped (n<2) group — the
+    manifest must preserve both."""
+    rows = [("a", T0, [1.0, 2.0])]  # skipped: lone row
+    rows += [("b", T0 + dt.timedelta(minutes=m), [float(m), float(m % 3)])
+             for m in range(6)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, vec array<double>")
+    _, fitted = run_windowed_features(df, "vec", "ts", "1 hour",
+                                      key_cols=("conv_id",), mode="pca")
+    assert fitted.skipped
+    d = str(tmp_path / "wk")
+    fitted.save(d)
+    from featureextraction_jl_spark.plans.windowed_pca import WindowedPCA
+
+    back = WindowedPCA.load(d)
+    assert back.models.keys() == fitted.models.keys()
+    assert back.skipped == fitted.skipped
+    for gk in fitted.models:
+        np.testing.assert_array_equal(back.models[gk].mu, fitted.models[gk].mu)
+        np.testing.assert_array_equal(back.models[gk].components,
+                                      fitted.models[gk].components)
+        assert back.models[gk].mode == fitted.models[gk].mode
