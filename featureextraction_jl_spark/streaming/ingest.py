@@ -67,6 +67,62 @@ def windowed_turn_stats(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def streaming_windowed_moments(stream: DataFrame, cols: list[str],
+                               ts_col: str = "ts",
+                               duration: str = "1 hour") -> DataFrame:
+    """Per-tumbling-window moment accumulation as a STREAMING aggregation —
+    the Structured Streaming twin of the windowed-PCA fit's moment pass
+    (plans/windowed_pca.py; batch truth = compute_grouped_moments).
+
+    Raw-sums strategy (the only one expressible as a streaming agg: Spark's
+    incremental state update needs partial+final SQL aggregates, not an
+    Arrow worker): per window accumulate ``n``, ``s_i = sum(x_i)`` and the
+    upper triangle ``q_ij = sum(x_i * x_j)``; recover (mean, M2) with
+    :func:`finalize_windowed_moments` once the window closes.  State per
+    window is 1 + p + p(p+1)/2 doubles — bounded by the watermark, which
+    also defines when a window's moments are final (append mode emits each
+    exactly once).  Null handling matches compute_moments_expr: rows with
+    any null component are dropped before accumulation.
+
+    ``cols``: scalar double columns (project array elements upstream —
+    element extraction is a narrow map and keeps this fully JVM-side).
+    """
+    src = stream
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    src = src.filter(cond)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.col(c)).alias(f"s{i}") for i, c in enumerate(cols)]
+    aggs += [F.sum(F.col(a) * F.col(b)).alias(f"q{i}_{j}")
+             for i, a in enumerate(cols)
+             for j, b in enumerate(cols) if j >= i]
+    return (src.groupBy(F.window(ts_col, duration).alias("w")).agg(*aggs)
+            .select(F.col("w.start").alias("win_start"), "*").drop("w"))
+
+
+def finalize_windowed_moments(rows, p: int) -> dict:
+    """Recover {win_start: (n, mean, m2)} from drained raw-sum rows.
+
+    Driver-side NumPy over O(windows) tiny rows (same recovery as
+    compute_moments_expr): mean = s/n, M2 = Q - n * outer(mean, mean).
+    """
+    import numpy as np
+
+    out = {}
+    for r in rows:
+        n = int(r["n"])
+        s = np.array([r[f"s{i}"] for i in range(p)], dtype=np.float64)
+        q = np.zeros((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                q[i, j] = q[j, i] = r[f"q{i}_{j}"]
+        mean = s / n
+        out[r["win_start"]] = (n, mean, q - n * np.outer(mean, mean))
+    return out
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete") -> None:
     """Drain an availableNow stream into the in-memory sink (test harness)."""

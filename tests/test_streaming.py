@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from featureextraction_jl_spark.functions.moments import (
+    compute_grouped_moments,
     compute_moments,
     merge_moment_rows,
 )
@@ -138,3 +139,37 @@ def test_transform_with_state_moments_equal_batch(spark, tmp_path):
     assert streamed.n == batch.n == 450
     np.testing.assert_allclose(streamed.mean, batch.mean, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(streamed.m2, batch.m2, rtol=1e-8, atol=1e-8)
+
+
+def test_streaming_windowed_moments_equal_batch(spark, tdir):
+    """Streaming per-window moment accumulation (the windowed-PCA fit's
+    stream twin) must equal the batch grouped-moments truth per window —
+    n exactly, mean/M2 to float tolerance (raw sums vs Chan merge)."""
+    from featureextraction_jl_spark.streaming.ingest import (
+        finalize_windowed_moments,
+        streaming_windowed_moments,
+    )
+
+    cols = ["c0", "c1"]
+    proj = lambda df: df.select(
+        "ts",
+        F.length("text").cast("double").alias("c0"),
+        F.log1p(F.col("turn_idx").cast("double")).alias("c1"))
+
+    stream = proj(read_transcript_stream(spark, tdir, watermark="0 seconds"))
+    run_to_memory(streaming_windowed_moments(stream, cols, duration="1 day"),
+                  "win_moments")
+    got = finalize_windowed_moments(spark.table("win_moments").collect(), 2)
+
+    batch = proj(spark.read.parquet(tdir)).select(
+        F.window("ts", "1 day")["start"].alias("w"),
+        F.array("c0", "c1").alias("vec"))
+    truth = {r["w"]: r for r in
+             compute_grouped_moments(batch, ["w"], "vec").collect()}
+
+    assert got.keys() == truth.keys() and len(got) > 5
+    for w, (n, mean, m2) in got.items():
+        assert n == truth[w]["n"]
+        np.testing.assert_allclose(mean, truth[w]["mean"], rtol=1e-9)
+        np.testing.assert_allclose(
+            m2, np.asarray(truth[w]["m2"]).reshape(2, 2), rtol=1e-6, atol=1e-6)
