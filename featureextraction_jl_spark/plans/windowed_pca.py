@@ -24,9 +24,10 @@ Scale shape (the 100 TB argument):
   10^4 windows fit in well under a second; ``max_models`` guards the driver
   against a mis-bucketed explosion (10^12 distinct groups) by raising with
   the count instead of OOMing mid-collect;
-* projection broadcasts the model map with the task closure (each model is
-  mu (p) + W (p x k) doubles) and runs ONE GEMM per (window, Arrow batch)
-  slice — batches are grouped by window key in NumPy, never per-row Python.
+* projection ships the model map as an explicit ``sc.broadcast`` (once per
+  executor, not per task — at 10^5 windows the map is ~100 MB) and runs ONE
+  GEMM per (window, Arrow batch) slice — batches are grouped by window key
+  in NumPy, never per-row Python.
 
 Leakage property (test-pinned): a row's features depend ONLY on rows in its
 own (keys, window) group — perturbing every other window leaves them
@@ -256,9 +257,16 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
     for gk, model in fitted.models.items():
         key = gk[:-1] + (_epoch(gk[-1]) + lag_s,)
         lut[key] = (model.mu, model.projection)
+    # Explicit sc.broadcast, NOT the closure: a closure-captured map is
+    # re-serialized into every task binary, so at max_models=10^5 windows
+    # (~10^5 * p*k doubles ~ 100 MB) every task ships the whole model map.
+    # The broadcast moves it once per EXECUTOR over the torrent protocol;
+    # the closure carries only the handle.
+    bc = df.sparkSession.sparkContext.broadcast(lut)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _project(*cols: pd.Series) -> pd.Series:
+        models = bc.value
         *keys, win, vecs = cols
         out = pd.Series([None] * len(vecs), dtype=object, index=vecs.index)
         win_epoch = win.astype("datetime64[ns]").astype("int64") / 1e9
@@ -267,7 +275,7 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
         valid = vecs.notna()
         for gk, idx in gk_frame.groupby(list(gk_frame.columns)).groups.items():
             gk = gk if isinstance(gk, tuple) else (gk,)
-            mw = lut.get(tuple(gk))
+            mw = models.get(tuple(gk))
             if mw is None:
                 continue
             mu, w = mw
