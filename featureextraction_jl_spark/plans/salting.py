@@ -53,6 +53,18 @@ def detect_heavy_keys(df: DataFrame, key: str, threshold_rows: int,
       x num_salts=32 partials is plenty of salt coverage; anything beyond
       that many "heavy" keys means the threshold is mis-set.
     """
+    if sample_fraction and threshold_rows * sample_fraction < 10:
+        # a key at the threshold appears ~Binomial(threshold, f) times in
+        # the sample; expectation < 10 means borderline-heavy keys are
+        # near-invisible and the probe silently under-detects
+        import warnings
+
+        warnings.warn(
+            f"detect_heavy_keys: threshold_rows*sample_fraction = "
+            f"{threshold_rows * sample_fraction:.1f} < 10 — keys near the "
+            f"threshold are statistically invisible to the sampled probe; "
+            f"raise sample_fraction or pass sample_fraction=None for an "
+            f"exact count", stacklevel=2)
     src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
     scale = 1.0 / sample_fraction if sample_fraction else 1.0
     counts = src.groupBy(key).agg((F.count(F.lit(1)) * F.lit(scale)).alias("n"))

@@ -293,3 +293,22 @@ def test_flagship_windowed_plan_invariants(spark, data):
     assert "ArrowEvalPython" in plan, "projection should be Arrow-batched"
     n_sorts = len(re.findall(r"\bSort \[", plan))
     assert n_sorts <= 1, f"plan has {n_sorts} Sorts:\n{plan[:4000]}"
+
+
+def test_detect_heavy_keys_warns_when_probe_blind(spark):
+    """threshold*fraction < 10 makes borderline keys statistically invisible
+    to the sampled probe — it must say so instead of silently missing them."""
+    import warnings
+
+    from featureextraction_jl_spark.plans.salting import detect_heavy_keys
+
+    df = spark.range(1000).select((F.col("id") % 5).cast("string").alias("k"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        detect_heavy_keys(df, "k", threshold_rows=50, sample_fraction=0.05)
+    assert any("statistically invisible" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        detect_heavy_keys(df, "k", threshold_rows=50, sample_fraction=None)
+        detect_heavy_keys(df, "k", threshold_rows=10_000, sample_fraction=0.05)
+    assert not any("statistically invisible" in str(x.message) for x in w)

@@ -239,3 +239,56 @@ def test_windowed_model_save_load_keyed_and_skipped(spark, tmp_path):
         np.testing.assert_array_equal(back.models[gk].components,
                                       fitted.models[gk].components)
         assert back.models[gk].mode == fitted.models[gk].mode
+
+
+# ---------------------------------------------------------------------------
+# Property gate: random window layouts / dimensions vs an independent NumPy
+# per-window fit (same rigor the as-of/sessionize operators get).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def windowed_case(draw):
+    p = draw(st.integers(2, 4))
+    n_windows = draw(st.integers(2, 4))
+    sizes = [draw(st.integers(1, 12)) for _ in range(n_windows)]
+    seed = draw(st.integers(0, 2**16))
+    return p, sizes, seed
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(windowed_case())
+def test_windowed_property_matches_numpy(spark, case):
+    p, sizes, seed = case
+    rng = np.random.default_rng(seed)
+    rows = []
+    for w, size in enumerate(sizes):
+        x = rng.normal(size=(size, p)) * (1.0 + w) + w
+        for i in range(size):
+            ts = T0 + dt.timedelta(hours=w, minutes=i)
+            rows.append((ts, [float(v) for v in x[i]]))
+    schema = "ts timestamp, vec array<double>"
+    df = spark.createDataFrame(rows, schema)
+    out, fitted = run_windowed_features(df, "vec", "ts", "1 hour",
+                                        mode="pca_whiten")
+    pdf = out.toPandas()
+    eps = 1e-12
+    # windows with one row are skipped -> NULL; others match the NumPy fit
+    assert len(fitted.skipped) == sum(1 for s in sizes if s < 2)
+    for w, grp in pdf.groupby(pdf["ts"].dt.floor("1h")):
+        X = np.stack(grp["vec"].to_numpy())
+        if len(X) < 2:
+            assert grp["feature_vec"].isna().all()
+            continue
+        mu = X.mean(axis=0)
+        cov = np.cov(X, rowvar=False, ddof=1)
+        for _, r in grp.iterrows():
+            x = np.asarray(r["vec"])
+            y = np.asarray(r["feature_vec"])
+            want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(p),
+                                                    x - mu))
+            np.testing.assert_allclose(y @ y, want, rtol=1e-5, atol=1e-6)
