@@ -10,3 +10,8 @@ from featureextraction_jl_spark.operators.windows import (  # noqa: F401
     tumbling,
 )
 from featureextraction_jl_spark.operators.dedup import latest_row  # noqa: F401
+from featureextraction_jl_spark.operators.ann import (  # noqa: F401
+    assign_cells,
+    ivf_topk,
+    train_ivf_centroids,
+)

@@ -1,0 +1,146 @@
+"""IVF (inverted-file) approximate nearest neighbour — the clustered scale
+path for similarity search (task brief: "an IVF or LSH-bucketed variant as
+the scale path"; the LSH variant lives in operators/dedup.py).
+
+Classic IVF decomposition, Spark-first:
+
+1. **Train** (driver): Lloyd's k-means on a bounded seeded SAMPLE of the
+   vectors — IVF quantizers are always trained on a sample (a coarse
+   quantizer needs ~256 points/cell, not the corpus), so the driver cost is
+   O(sample * dim * iters) regardless of corpus size.
+2. **Assign** (executors): one Arrow-batched GEMM per batch against the
+   broadcast centroid matrix -> ``cell`` column.  Narrow map, no shuffle.
+   Persist the assigned table bucketed by ``cell`` and queries prune to
+   their probe cells at the SCAN (partition pruning), never touching the
+   rest of the corpus.
+3. **Query**: rank the centroids against the query driver-side (tiny GEMM),
+   take the ``n_probe`` nearest cells, filter the corpus to those cells
+   (the inverted-file probe — at 10^12 vectors with n_cells=2^16 and
+   n_probe=8 this scans ~0.01% of rows), then exact cosine top-k within.
+
+Recall/scan-fraction trade-off is the standard IVF curve: raise ``n_probe``
+for recall, raise ``n_cells`` to shrink per-cell scan cost.  Recall vs the
+brute-force truth is pinned in tests/test_ann.py on planted clusters, along
+with the pruning property (rows scanned < corpus) and determinism (seeded
+sample + seeded init).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
+                        dim: int, sample_rows: int = 50_000,
+                        iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a seeded sample -> (n_cells, dim).
+
+    The sample is bounded (``limit`` after a seeded shuffle-free ``sample``)
+    so driver memory is O(sample_rows * dim) at any corpus size.  Empty
+    cells re-seed to the farthest points (standard Lloyd's repair), so the
+    quantizer always has n_cells distinct cells.
+    """
+    frac_src = df.select(F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull() & (F.size("_v") == dim))
+    # sample ~2x the target then cap: .sample is per-row Bernoulli so the
+    # exact count is random; limit() trims deterministically after sort-free
+    # scan order (acceptable for quantizer training).
+    n_total = frac_src.count()
+    if n_total == 0:
+        raise ValueError("train_ivf_centroids: no valid vectors")
+    frac = min(1.0, (2.0 * sample_rows) / max(n_total, 1))
+    rows = (frac_src.sample(frac, seed=seed).limit(sample_rows).collect())
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    n_cells = min(n_cells, x.shape[0])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(x.shape[0], size=n_cells, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2) \
+            if x.shape[0] * n_cells * x.shape[1] < 5e7 else None
+        if d2 is None:
+            # blockwise assignment for big samples: ||x-c||^2 via GEMM
+            d2 = (x * x).sum(1)[:, None] - 2 * x @ cents.T \
+                + (cents * cents).sum(1)[None, :]
+        assign = d2.argmin(axis=1)
+        new = np.zeros_like(cents)
+        counts = np.bincount(assign, minlength=n_cells)
+        np.add.at(new, assign, x)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        if (~nonempty).any():
+            # re-seed empty cells with the points farthest from their centroid
+            far = np.argsort(d2[np.arange(len(x)), assign])[::-1]
+            new[~nonempty] = x[far[: (~nonempty).sum()]]
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
+                 out_col: str = "cell") -> DataFrame:
+    """Attach the nearest-centroid cell id — one GEMM per Arrow batch.
+
+    The centroid matrix rides an explicit broadcast; NULL / wrong-dim
+    vectors get cell NULL (they can never be probed, matching the ANN
+    family's null handling).
+    """
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((cents, c_sq))
+    dim = cents.shape[1]
+
+    @F.pandas_udf(IntegerType())
+    def _assign(s: pd.Series) -> pd.Series:
+        cents_, c_sq_ = bc.value
+        mask = s.map(lambda v: v is not None and len(v) == dim)
+        out = pd.Series([None] * len(s), dtype=object, index=s.index)
+        if mask.any():
+            x = np.stack(s[mask].to_numpy()).astype(np.float64)
+            # argmin ||x-c||^2 = argmin c.c - 2 x.c  (x.x constant per row)
+            d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
+            out[mask] = pd.Series(d.argmin(axis=1).astype(object),
+                                  index=s.index[mask])
+        return out
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def _cosine_to_query(vec_col: Column, q: np.ndarray) -> Column:
+    """Exact cosine vs a literal query vector — pure JVM exprs (q44 shape)."""
+    qarr = F.array(*[F.lit(float(v)) for v in q])
+    dot = F.aggregate(F.zip_with(vec_col, qarr, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(F.transform(vec_col, lambda x: x * x),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(np.linalg.norm(q))
+    return dot / (nrm * F.lit(qn))
+
+
+def ivf_topk(assigned: DataFrame, query: np.ndarray, centroids: np.ndarray,
+             k: int = 10, n_probe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", cell_col: str = "cell") -> DataFrame:
+    """Top-k by cosine among the ``n_probe`` cells nearest the query.
+
+    ``assigned`` is the corpus with precomputed cells (:func:`assign_cells`
+    — persist it partitioned/bucketed by cell so this filter becomes
+    partition pruning at the scan).  The probe-cell ranking is a tiny
+    driver-side GEMM over the centroid matrix; the candidate scan is
+    ``filter(cell IN probes)`` + exact JVM-side cosine + global top-k.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d)[:n_probe]]
+    cand = assigned.filter(F.col(cell_col).isin(probes))
+    return (cand
+            .select(id_col,
+                    F.round(_cosine_to_query(F.col(vec_col).cast("array<double>"),
+                                             q), 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))

@@ -1,0 +1,105 @@
+"""IVF ANN gates: recall vs brute force, pruning property, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.operators.ann import (
+    assign_cells,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """12 well-separated clusters of 25 vectors + 200 noise vectors."""
+    rng = np.random.default_rng(77)
+    rows, vid = [], 0
+    centers = rng.normal(size=(12, DIM)) * 4.0
+    for c in centers:
+        for _ in range(25):
+            rows.append((vid, [float(x) for x in c + rng.normal(scale=0.2, size=DIM)]))
+            vid += 1
+    for _ in range(200):
+        rows.append((vid, [float(x) for x in rng.normal(size=DIM)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.array([r[1] for r in rows])
+    return df, X
+
+
+def _brute_topk(X, q, k):
+    qn = q / np.linalg.norm(q)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ qn
+    return set(np.argsort(-sims)[:k].tolist())
+
+
+def test_ivf_recall_and_pruning(spark, corpus):
+    df, X = corpus
+    cents = train_ivf_centroids(df, "embedding", n_cells=16, dim=DIM,
+                                sample_rows=1000)
+    assert cents.shape == (16, DIM)
+    assigned = assign_cells(df, "embedding", cents).cache()
+    n_cells_used = assigned.select("cell").distinct().count()
+    assert n_cells_used >= 8  # the quantizer actually partitions the space
+
+    # recall@10 vs brute force, averaged over several cluster queries
+    hits = total = 0
+    for qi in (0, 30, 60, 120, 200):
+        q = X[qi]
+        got = {r["vec_id"] for r in
+               ivf_topk(assigned, q, cents, k=10, n_probe=4).collect()}
+        want = _brute_topk(X, q, 10)
+        hits += len(got & want)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall@10 {recall:.2f} < 0.9"
+
+    # the probe actually PRUNES: candidates scanned < corpus size
+    q = X[0]
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d)[:4]]
+    scanned = assigned.filter(F.col("cell").isin(probes)).count()
+    assert scanned < df.count(), "probe filter did not prune anything"
+
+    assigned.unpersist()
+
+
+def test_ivf_deterministic_and_null_safe(spark, corpus):
+    df, X = corpus
+    c1 = train_ivf_centroids(df, "embedding", n_cells=8, dim=DIM,
+                             sample_rows=500)
+    c2 = train_ivf_centroids(df, "embedding", n_cells=8, dim=DIM,
+                             sample_rows=500)
+    np.testing.assert_array_equal(c1, c2)  # seeded sample + seeded init
+
+    # NULL / wrong-dim vectors -> cell NULL, never probed, never a crash
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    assigned = assign_cells(df.unionByName(bad), "embedding", c1)
+    cells = {r["vec_id"]: r["cell"] for r in
+             assigned.filter(F.col("vec_id") >= 1000).collect()}
+    assert cells[1000] is None and cells[1001] is None
+    got = ivf_topk(assigned, X[0], c1, k=5, n_probe=8)
+    assert got.count() == 5
+    assert all(r["vec_id"] < 1000 for r in got.collect())
+
+
+def test_ivf_empty_and_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no valid vectors"):
+        train_ivf_centroids(empty, "embedding", n_cells=4, dim=DIM)
+    # fewer points than cells: quantizer shrinks instead of crashing
+    few = spark.createDataFrame(
+        [(i, [float(i)] * DIM) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    c = train_ivf_centroids(few, "embedding", n_cells=8, dim=DIM)
+    assert c.shape[0] == 3
