@@ -23,6 +23,14 @@ for recall, raise ``n_cells`` to shrink per-cell scan cost.  Recall vs the
 brute-force truth is pinned in tests/test_ann.py on planted clusters, along
 with the pruning property (rows scanned < corpus) and determinism (seeded
 sample + seeded init).
+
+Metric consistency: the final ranking is COSINE, so the quantizer is
+spherical k-means — vectors are L2-normalized before training and
+assignment and centroids are re-normalized each iteration.  On the unit
+sphere, argmin L2 == argmax cosine, so the cell probe ranks cells under
+the SAME metric the top-k uses (the faiss IVF-for-cosine recipe:
+normalize + inner product).  Zero-norm vectors have undefined cosine and
+get cell NULL, same as NULL / wrong-dim vectors.
 """
 
 from __future__ import annotations
@@ -44,6 +52,11 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
     so driver memory is O(sample_rows * dim) at any corpus size.  Empty
     cells re-seed to the farthest points (standard Lloyd's repair), so the
     quantizer always has n_cells distinct cells.
+
+    Cluster cost: ONE column-pruned count pass (to turn ``sample_rows``
+    into a Bernoulli fraction) plus the sample scan — both narrow, no
+    shuffle.  Training is one-time per corpus snapshot; persist the
+    centroids with the assigned table so queries never retrain.
     """
     frac_src = df.select(F.col(vec_col).alias("_v")).filter(
         F.col("_v").isNotNull() & (F.size("_v") == dim))
@@ -56,6 +69,13 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
     frac = min(1.0, (2.0 * sample_rows) / max(n_total, 1))
     rows = (frac_src.sample(frac, seed=seed).limit(sample_rows).collect())
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    # spherical k-means: normalize the sample so L2 clustering happens in
+    # the cosine geometry the query-time ranking uses (zero-norm vectors
+    # have no direction — drop them, mirroring assign_cells' NULL cell)
+    nrm = np.linalg.norm(x, axis=1)
+    x = x[nrm > 0] / nrm[nrm > 0, None]
+    if x.shape[0] == 0:
+        raise ValueError("train_ivf_centroids: no valid vectors")
     n_cells = min(n_cells, x.shape[0])
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(x.shape[0], size=n_cells, replace=False)]
@@ -76,6 +96,10 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
             # re-seed empty cells with the points farthest from their centroid
             far = np.argsort(d2[np.arange(len(x)), assign])[::-1]
             new[~nonempty] = x[far[: (~nonempty).sum()]]
+        # spherical step: re-project centroids onto the unit sphere so the
+        # probe's L2 ranking stays monotone in cosine every iteration
+        cn = np.linalg.norm(new, axis=1)
+        new[cn > 0] /= cn[cn > 0, None]
         if np.allclose(new, cents, rtol=0, atol=1e-12):
             cents = new
             break
@@ -87,9 +111,11 @@ def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
                  out_col: str = "cell") -> DataFrame:
     """Attach the nearest-centroid cell id — one GEMM per Arrow batch.
 
-    The centroid matrix rides an explicit broadcast; NULL / wrong-dim
-    vectors get cell NULL (they can never be probed, matching the ANN
-    family's null handling).
+    The centroid matrix rides an explicit broadcast; NULL / wrong-dim /
+    zero-norm vectors get cell NULL (they can never be probed, matching
+    the ANN family's null handling — a zero vector has no cosine).
+    Rows are L2-normalized before the GEMM so assignment happens in the
+    same spherical geometry the quantizer was trained in.
     """
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     c_sq = (cents * cents).sum(axis=1)
@@ -97,19 +123,25 @@ def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
     dim = cents.shape[1]
 
     @F.pandas_udf(IntegerType())
-    def _assign(s: pd.Series) -> pd.Series:
+    def _assign(s: pd.Series, ok: pd.Series) -> pd.Series:
         cents_, c_sq_ = bc.value
-        mask = s.map(lambda v: v is not None and len(v) == dim)
+        # validity computed JVM-side (isNotNull & size==dim) — no per-row
+        # Python predicate in the assignment hot path
+        mask = ok.fillna(False).astype(bool)
         out = pd.Series([None] * len(s), dtype=object, index=s.index)
         if mask.any():
             x = np.stack(s[mask].to_numpy()).astype(np.float64)
-            # argmin ||x-c||^2 = argmin c.c - 2 x.c  (x.x constant per row)
-            d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
-            out[mask] = pd.Series(d.argmin(axis=1).astype(object),
-                                  index=s.index[mask])
+            nrm = np.linalg.norm(x, axis=1)
+            ix = s.index[mask][nrm > 0]
+            if len(ix):
+                x = x[nrm > 0] / nrm[nrm > 0, None]
+                # argmin ||x-c||^2 = argmin c.c - 2 x.c (x.x == 1 per row)
+                d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
+                out[ix] = pd.Series(d.argmin(axis=1).astype(object), index=ix)
         return out
 
-    return df.withColumn(out_col, _assign(F.col(vec_col)))
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
+    return df.withColumn(out_col, _assign(F.col(vec_col), valid))
 
 
 def _cosine_to_query(vec_col: Column, q: np.ndarray) -> Column:
@@ -135,7 +167,12 @@ def ivf_topk(assigned: DataFrame, query: np.ndarray, centroids: np.ndarray,
     ``filter(cell IN probes)`` + exact JVM-side cosine + global top-k.
     """
     q = np.asarray(query, dtype=np.float64)
-    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("ivf_topk: zero-norm query has no cosine ranking")
+    # centroids are unit-norm (spherical k-means), so ranking them by L2
+    # to the normalized query IS ranking them by cosine
+    d = ((centroids - (q / qn)[None, :]) ** 2).sum(axis=1)
     probes = [int(c) for c in np.argsort(d)[:n_probe]]
     cand = assigned.filter(F.col(cell_col).isin(probes))
     return (cand

@@ -72,6 +72,30 @@ def test_ivf_recall_and_pruning(spark, corpus):
     assigned.unpersist()
 
 
+def test_ivf_recall_is_norm_invariant(spark, corpus):
+    """Cosine ignores vector scale — wildly varying norms must not break
+    the quantizer (the spherical-k-means property: raw-L2 cells would
+    split clusters by NORM, not direction, and tank recall)."""
+    df, X = corpus
+    rng = np.random.default_rng(5)
+    scales = rng.uniform(0.01, 100.0, size=X.shape[0])
+    Xs = X * scales[:, None]
+    rows = [(int(i), [float(v) for v in Xs[i]]) for i in range(len(Xs))]
+    dfs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(dfs, "embedding", n_cells=16, dim=DIM,
+                                sample_rows=1000)
+    assigned = assign_cells(dfs, "embedding", cents).cache()
+    hits = total = 0
+    for qi in (0, 30, 60, 120, 200):
+        got = {r["vec_id"] for r in
+               ivf_topk(assigned, Xs[qi], cents, k=10, n_probe=4).collect()}
+        want = _brute_topk(Xs, Xs[qi], 10)
+        hits += len(got & want)
+        total += len(want)
+    assigned.unpersist()
+    assert hits / total >= 0.9, f"scaled-corpus recall {hits/total:.2f} < 0.9"
+
+
 def test_ivf_deterministic_and_null_safe(spark, corpus):
     df, X = corpus
     c1 = train_ivf_centroids(df, "embedding", n_cells=8, dim=DIM,
@@ -98,8 +122,28 @@ def test_ivf_empty_and_degenerate_inputs(spark):
     with pytest.raises(ValueError, match="no valid vectors"):
         train_ivf_centroids(empty, "embedding", n_cells=4, dim=DIM)
     # fewer points than cells: quantizer shrinks instead of crashing
+    # (three distinct DIRECTIONS — spherical k-means sees directions only)
     few = spark.createDataFrame(
-        [(i, [float(i)] * DIM) for i in range(3)],
+        [(i, [float(i + 1)] + [1.0] * (DIM - 1)) for i in range(3)],
         "vec_id long, embedding array<double>")
     c = train_ivf_centroids(few, "embedding", n_cells=8, dim=DIM)
     assert c.shape[0] == 3
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0)  # unit cells
+
+    # zero-norm vectors: no direction -> dropped from training, cell NULL,
+    # zero-norm QUERY raises (its cosine ranking is undefined)
+    with_zero = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] * DIM), (2, [-1.0] * DIM)],
+        "vec_id long, embedding array<double>")
+    cz = train_ivf_centroids(with_zero, "embedding", n_cells=4, dim=DIM)
+    assert cz.shape[0] == 2  # the zero vector never became a centroid
+    cells = {r["vec_id"]: r["cell"] for r in
+             assign_cells(with_zero, "embedding", cz).collect()}
+    assert cells[0] is None and cells[1] is not None
+    with pytest.raises(ValueError, match="zero-norm query"):
+        ivf_topk(assign_cells(with_zero, "embedding", cz),
+                 np.zeros(DIM), cz)
+    all_zero = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no valid vectors"):
+        train_ivf_centroids(all_zero, "embedding", n_cells=2, dim=DIM)
