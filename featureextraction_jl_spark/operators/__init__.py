@@ -13,5 +13,6 @@ from featureextraction_jl_spark.operators.dedup import latest_row  # noqa: F401
 from featureextraction_jl_spark.operators.ann import (  # noqa: F401
     assign_cells,
     ivf_topk,
+    ivf_topk_batch,
     train_ivf_centroids,
 )

@@ -38,9 +38,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
@@ -181,3 +181,80 @@ def ivf_topk(assigned: DataFrame, query: np.ndarray, centroids: np.ndarray,
                                              q), 6).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
+
+
+def ivf_topk_batch(assigned: DataFrame, queries: DataFrame,
+                   centroids: np.ndarray, k: int = 10, n_probe: int = 4,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   cell_col: str = "cell", query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec") -> DataFrame:
+    """Top-k per query for a whole DataFrame of queries in ONE plan.
+
+    The production shape of similarity search is batched (dedup sweeps,
+    retrieval eval sets) — running :func:`ivf_topk` per query costs one
+    job each and re-scans shared cells.  This variant serves the batch in
+    one pass:
+
+    1. each query gets its ``n_probe`` nearest cells via the same
+       broadcast-GEMM used by :func:`assign_cells` (one Arrow batch GEMM,
+       cells as an array column) — no driver loop over queries;
+    2. explode to (query, probe cell) and join to the corpus on ``cell``.
+       The QUERY side is broadcast (queries × n_probe rows — small by
+       construction); the corpus side stays put, so the join is a narrow
+       map over the cell-pruned scan, no corpus shuffle;
+    3. exact cosine per (query, candidate) — pure JVM exprs on the joined
+       vectors; a window top-k per query (the q12 per-group-top-k shape).
+
+    Cost: scans only the UNION of the batch's probe cells — disjoint
+    query clusters prune independently; overlapping queries share the
+    scan instead of repeating it.  NULL/zero-norm query vectors yield no
+    output rows (their cosine is undefined), mirroring the single-query
+    path's ValueError in DataFrame semantics.
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k per query.
+    """
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+    bc = queries.sparkSession.sparkContext.broadcast((cents, c_sq))
+    dim = cents.shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe_cells(s: pd.Series, ok: pd.Series) -> pd.Series:
+        cents_, c_sq_ = bc.value
+        mask = ok.fillna(False).astype(bool)
+        out = pd.Series([None] * len(s), dtype=object, index=s.index)
+        if mask.any():
+            x = np.stack(s[mask].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(x, axis=1)
+            ix = s.index[mask][nrm > 0]
+            if len(ix):
+                x = x[nrm > 0] / nrm[nrm > 0, None]
+                d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
+                top = np.argsort(d, axis=1)[:, :n_probe].astype(object)
+                out[ix] = pd.Series(list(top), index=ix)
+        return out
+
+    valid = (F.col(query_vec_col).isNotNull()
+             & (F.size(query_vec_col) == F.lit(dim)))
+    probed = (queries
+              .withColumn("__cells", _probe_cells(F.col(query_vec_col), valid))
+              .filter(F.col("__cells").isNotNull())
+              .select(query_id_col, query_vec_col,
+                      F.explode("__cells").alias(cell_col)))
+
+    joined = assigned.join(F.broadcast(probed), cell_col)
+    qv = F.col(query_vec_col).cast("array<double>")
+    cv = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(cv, qv, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (F.sqrt(F.aggregate(F.transform(cv, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+           * F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x),
+                                F.lit(0.0), lambda acc, x: acc + x)))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (joined
+            .select(query_id_col, id_col,
+                    F.round(dot / nrm, 6).alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from featureextraction_jl_spark.operators.ann import (
     assign_cells,
     ivf_topk,
+    ivf_topk_batch,
     train_ivf_centroids,
 )
 
@@ -94,6 +95,31 @@ def test_ivf_recall_is_norm_invariant(spark, corpus):
         total += len(want)
     assigned.unpersist()
     assert hits / total >= 0.9, f"scaled-corpus recall {hits/total:.2f} < 0.9"
+
+
+def test_ivf_batch_matches_per_query(spark, corpus):
+    """ivf_topk_batch == per-query ivf_topk on every (query, rank); NULL /
+    wrong-dim / zero-norm query vectors yield zero output rows."""
+    df, X = corpus
+    cents = train_ivf_centroids(df, "embedding", n_cells=16, dim=DIM,
+                                sample_rows=1000)
+    assigned = assign_cells(df, "embedding", cents).cache()
+    qids = (0, 30, 60, 120, 200)
+    qdf = spark.createDataFrame(
+        [(int(qi), [float(v) for v in X[qi]]) for qi in qids]
+        + [(900, None), (901, [1.0, 2.0]), (902, [0.0] * DIM)],
+        "query_id long, query_vec array<double>")
+    got = ivf_topk_batch(assigned, qdf, cents, k=10, n_probe=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    assert set(by_q) == set(qids)  # invalid queries produced nothing
+    for qi in qids:
+        single = [(i + 1, r["vec_id"], r["cosine"]) for i, r in enumerate(
+            ivf_topk(assigned, X[qi], cents, k=10, n_probe=4).collect())]
+        assert sorted(by_q[qi]) == single, f"batch != single for query {qi}"
+    assigned.unpersist()
 
 
 def test_ivf_deterministic_and_null_safe(spark, corpus):
