@@ -110,6 +110,34 @@ def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
     return cents
 
 
+def _nearest_cells(bc_value: tuple, s: pd.Series, ok: pd.Series,
+                   n: int, scalar: bool = False) -> pd.Series:
+    """Shared spherical-assignment kernel for assign_cells (scalar top-1)
+    and ivf_topk_batch's probe (top-n arrays): mask invalid/zero-norm
+    vectors, L2-normalize, one GEMM against the broadcast centroids, take
+    the top-n cells by L2 (== cosine on the unit sphere).  One body so a
+    fix to the masking/normalization can never drift between the two
+    callers.  ``scalar=True`` returns the single nearest cell id per row
+    (assign shape); otherwise arrays of n ids (probe shape, even at n=1)."""
+    cents_, c_sq_ = bc_value
+    mask = ok.fillna(False).astype(bool)
+    out = pd.Series([None] * len(s), dtype=object, index=s.index)
+    if mask.any():
+        x = np.stack(s[mask].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        ix = s.index[mask][nrm > 0]
+        if len(ix):
+            x = x[nrm > 0] / nrm[nrm > 0, None]
+            # argmin ||x-c||^2 = argmin c.c - 2 x.c (x.x == 1 per row)
+            d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
+            if scalar:
+                out[ix] = pd.Series(d.argmin(axis=1).astype(object), index=ix)
+            else:
+                top = np.argsort(d, axis=1)[:, :n].astype(object)
+                out[ix] = pd.Series(list(top), index=ix)
+    return out
+
+
 def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
                  out_col: str = "cell") -> DataFrame:
     """Attach the nearest-centroid cell id — one GEMM per Arrow batch.
@@ -127,21 +155,9 @@ def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
 
     @F.pandas_udf(IntegerType())
     def _assign(s: pd.Series, ok: pd.Series) -> pd.Series:
-        cents_, c_sq_ = bc.value
         # validity computed JVM-side (isNotNull & size==dim) — no per-row
         # Python predicate in the assignment hot path
-        mask = ok.fillna(False).astype(bool)
-        out = pd.Series([None] * len(s), dtype=object, index=s.index)
-        if mask.any():
-            x = np.stack(s[mask].to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(x, axis=1)
-            ix = s.index[mask][nrm > 0]
-            if len(ix):
-                x = x[nrm > 0] / nrm[nrm > 0, None]
-                # argmin ||x-c||^2 = argmin c.c - 2 x.c (x.x == 1 per row)
-                d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
-                out[ix] = pd.Series(d.argmin(axis=1).astype(object), index=ix)
-        return out
+        return _nearest_cells(bc.value, s, ok, 1, scalar=True)
 
     valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
     return df.withColumn(out_col, _assign(F.col(vec_col), valid))
@@ -223,19 +239,7 @@ def ivf_topk_batch(assigned: DataFrame, queries: DataFrame,
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _probe_cells(s: pd.Series, ok: pd.Series) -> pd.Series:
-        cents_, c_sq_ = bc.value
-        mask = ok.fillna(False).astype(bool)
-        out = pd.Series([None] * len(s), dtype=object, index=s.index)
-        if mask.any():
-            x = np.stack(s[mask].to_numpy()).astype(np.float64)
-            nrm = np.linalg.norm(x, axis=1)
-            ix = s.index[mask][nrm > 0]
-            if len(ix):
-                x = x[nrm > 0] / nrm[nrm > 0, None]
-                d = c_sq_[None, :] - 2.0 * (x @ cents_.T)
-                top = np.argsort(d, axis=1)[:, :n_probe].astype(object)
-                out[ix] = pd.Series(list(top), index=ix)
-        return out
+        return _nearest_cells(bc.value, s, ok, n_probe)
 
     valid = (F.col(query_vec_col).isNotNull()
              & (F.size(query_vec_col) == F.lit(dim)))

@@ -435,7 +435,12 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
     # localCheckpoint blocks die with their executor, which on a real
     # cluster would invalidate the labels frame mid-iteration; checkpoint()
     # writes to the (HDFS/S3) checkpoint dir instead.  The probe is
-    # driver-side plan state — no job.
+    # driver-side plan state — no job.  Checkpoint FILES outlive the loop:
+    # each round's superseded labels checkpoint is deleted by the
+    # ContextCleaner once unreferenced (session.py pins
+    # spark.cleaner.referenceTracking.cleanCheckpoints=true); on sessions
+    # built elsewhere without that conf, the caller owns the checkpoint-dir
+    # lifecycle (delete it after the consuming action).
     sc = pairs.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
 

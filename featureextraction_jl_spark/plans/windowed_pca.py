@@ -38,7 +38,16 @@ row's window start (zero temporal leakage in the as-of sense).
 
 Windows whose group has n < 2 rows have no covariance; their rows project
 to NULL (SQL null semantics — poisoning or crashing are the alternatives,
-and both are worse; count them via the returned manifest).
+and both are worse; count them via the returned manifest).  Rows with NULL
+ts have no window: excluded from the fit, projected to NULL.
+
+Group keys are computed as window-start EPOCH SECONDS with the same JVM
+expression on the fit and projection sides (``epoch_seconds``), so the
+model match is independent of both the driver OS timezone and the Spark
+session timezone; the datetime in each model key is the naive-UTC label of
+that epoch (see ``_win_dt``).  NULL extra keys (e.g. NULL conv_id) are real
+groups on both sides: the fit keeps them (Spark groupBy semantics) and the
+projection matches them (``dropna=False`` + NaN->None normalization).
 """
 
 from __future__ import annotations
@@ -57,13 +66,34 @@ from featureextraction_jl_spark.functions.moments import (
     compute_grouped_moments,
 )
 from featureextraction_jl_spark.functions.pca import PCAModel, fit_pca
+from featureextraction_jl_spark.functions.timeutil import epoch_seconds
 
 #: driver-side guard: refuse to collect more per-group moment rows than this
 #: (a mis-bucketed group key at design scale would otherwise stream 10^12
 #: tiny rows at the driver).  4 bytes * p^2 * 100k is still < 1 GB at p=50.
 DEFAULT_MAX_MODELS = 100_000
 
-_WIN = "__win_start"
+_WIN = "__win_epoch"
+
+
+def _win_dt(epoch: float):
+    """Canonical model-key datetime for a window-start epoch: the naive-UTC
+    rendering, derived ON THE DRIVER from the JVM-computed epoch seconds.
+
+    Never derived from a ``collect()``-ed TimestampType value: Spark renders
+    those via ``datetime.fromtimestamp`` in the DRIVER OS timezone, while the
+    projection UDF sees the SESSION-timezone rendering — on any host whose OS
+    timezone differs from the session's, keys built from collected timestamps
+    would miss every UDF-side lookup and silently NULL the whole output.
+    Keying both sides off ``epoch_seconds(...)`` (the same JVM expression)
+    removes the timezone from the contract entirely; the datetime here is a
+    human-facing label whose round-trip back to epoch
+    (``pd.Timestamp(dt).value / 1e9``) is exact at microsecond granularity.
+    """
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        epoch, _dt.timezone.utc).replace(tzinfo=None)
 
 
 @dataclass
@@ -155,6 +185,19 @@ def _window_start(ts_col: str, duration: str) -> Column:
     return F.window(ts_col, duration)["start"]
 
 
+def _window_epoch(ts_col: str, duration: str) -> Column:
+    """Window-start EPOCH SECONDS (double) — the timezone-free group key the
+    fit AND the projection both compute with the same JVM expression."""
+    return epoch_seconds(_window_start(ts_col, duration))
+
+
+def _norm_gk(v):
+    """Normalize a pandas group-key component for model-map lookup: NaN/NaT
+    (pandas' rendering of a NULL Spark key under ``dropna=False``) -> None,
+    matching the ``None`` the fit side collects for NULL keys."""
+    return None if pd.isna(v) else v
+
+
 def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
                      key_cols: tuple | list = (), k: int | None = None,
                      mode: str = "pca_whiten",
@@ -182,8 +225,13 @@ def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
     * ``"auto"`` — salted when ``key_cols`` is empty, grouped otherwise.
     """
     key_cols = tuple(key_cols)
-    bucketed = df.select(*key_cols, _window_start(ts_col, duration).alias(_WIN),
-                         vec_col)
+    # Group on the window-start EPOCH (double, JVM-computed) — never on a
+    # collected TimestampType, whose driver rendering is OS-timezone-local
+    # (see _win_dt).  Rows with NULL ts have no window: they are excluded
+    # from the fit here and project to NULL (the family's null convention).
+    bucketed = df.select(*key_cols,
+                         _window_epoch(ts_col, duration).alias(_WIN),
+                         vec_col).filter(F.col(_WIN).isNotNull())
     if moments_strategy == "auto":
         moments_strategy = "salted" if not key_cols else "grouped"
     if moments_strategy == "salted":
@@ -215,7 +263,7 @@ def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
             f"or raise max_models explicitly")
     models, skipped, counts = {}, {}, {}
     for r in rows:
-        gk = tuple(r[c] for c in key_cols) + (r[_WIN],)
+        gk = tuple(r[c] for c in key_cols) + (_win_dt(r[_WIN]),)
         mean = np.asarray(r["mean"], dtype=np.float64)
         p = mean.shape[0]
         m = Moments(int(r["n"]), mean,
@@ -244,18 +292,18 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
     not calendar months).
     """
     key_cols = fitted.key_cols
-    # model lookup keyed by (keys..., naive-UTC epoch seconds of win start):
-    # pandas delivers the timestamp column to the UDF as datetime64, so the
-    # join key must be a numeric both sides compute identically.
-    def _epoch(ts) -> float:
-        return pd.Timestamp(ts).value / 1e9
-
+    # Model lookup keyed by (keys..., window-start epoch seconds).  The
+    # model-key datetime is naive-UTC BY CONSTRUCTION (_win_dt derives it
+    # from the JVM epoch), so pd.Timestamp(...).value recovers that epoch
+    # exactly; the UDF side receives the SAME JVM expression's value
+    # (epoch_seconds over the window start) as a double — no timezone, OS
+    # or session, participates in the match on either side.
     lag_s = 0.0
     if lag_models:
         lag_s = lag_models * _duration_seconds(fitted.duration)
     lut = {}
     for gk, model in fitted.models.items():
-        key = gk[:-1] + (_epoch(gk[-1]) + lag_s,)
+        key = gk[:-1] + (pd.Timestamp(gk[-1]).value / 1e9 + lag_s,)
         lut[key] = (model.mu, model.projection)
     # Explicit sc.broadcast, NOT the closure: a closure-captured map is
     # re-serialized into every task binary, so at max_models=10^5 windows
@@ -269,13 +317,19 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
         models = bc.value
         *keys, win, vecs = cols
         out = pd.Series([None] * len(vecs), dtype=object, index=vecs.index)
-        win_epoch = win.astype("datetime64[ns]").astype("int64") / 1e9
+        # ``win`` is already epoch seconds (double, JVM-computed); NaN for
+        # NULL ts rows — normalized to None below, which matches no model.
         gk_frame = pd.DataFrame({i: k for i, k in enumerate(keys)} |
-                                {"__w": win_epoch})
+                                {"__w": win})
         valid = vecs.notna()
-        for gk, idx in gk_frame.groupby(list(gk_frame.columns)).groups.items():
+        # dropna=False: a NULL extra key (e.g. NULL conv_id) is a real group
+        # on the fit side (Spark groupBy keeps it) — the pandas default
+        # would silently drop those rows from projection, NULLing them while
+        # the manifest says their model exists.
+        for gk, idx in gk_frame.groupby(list(gk_frame.columns),
+                                        dropna=False).groups.items():
             gk = gk if isinstance(gk, tuple) else (gk,)
-            mw = models.get(tuple(gk))
+            mw = models.get(tuple(_norm_gk(v) for v in gk))
             if mw is None:
                 continue
             mu, w = mw
@@ -286,7 +340,7 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
             out.loc[take] = pd.Series(list((x - mu) @ w), index=take)
         return out
 
-    win_col = _window_start(ts_col, fitted.duration)
+    win_col = _window_epoch(ts_col, fitted.duration)
     args = [F.col(c) for c in key_cols] + [win_col, F.col(vec_col)]
     return df.withColumn(out_col, _project(*args))
 

@@ -42,6 +42,11 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Keep executor-side Python workers reusable (Arrow socket reuse).
     "spark.python.worker.reuse": "true",
+    # Reliable checkpoint()s (connected_components when a checkpoint dir is
+    # set) are GC-cleaned by the ContextCleaner once their frames are
+    # unreferenced — without this the per-round label checkpoints of every
+    # near-dedup sweep accumulate on HDFS/S3 for the session's lifetime.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": _default_driver_memory(),
     # Pre-fault the whole heap at JVM start (Xms=Xmx + AlwaysPreTouch).

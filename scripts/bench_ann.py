@@ -97,17 +97,21 @@ def main() -> None:
     cents = train_ivf_centroids(flat, "embedding", n_cells=N_CELLS, dim=DIM,
                                 sample_rows=50_000, seed=SEED)
     train_sec = time.monotonic() - t0
-    t0 = time.monotonic()
     if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
         # repartition by cell BEFORE partitionBy: without it every write
         # task holds a file per cell it sees (64 tasks x 256 cells -> up to
         # 16k small files — measured 199 s); clustered, each cell's rows
         # land in one task -> one file per cell (measured 19.9 s, 10x, and
         # far fewer files for the probed reads)
+        t0 = time.monotonic()
         (assign_cells(flat, "embedding", cents)
          .repartition("cell")
          .write.mode("overwrite").partitionBy("cell").parquet(part_dir))
-    assign_write_sec = time.monotonic() - t0
+        assign_write_sec = round(time.monotonic() - t0, 3)
+    else:
+        # warm .bench_cache rerun: the write was skipped — record that
+        # honestly instead of a near-zero cost masquerading as evidence
+        assign_write_sec = "cached"
 
     # queries = actual corpus members (worst case for pruning honesty: the
     # true neighbours exist and must be found)
@@ -152,7 +156,7 @@ def main() -> None:
         "scan_fraction": round(scanned / N, 5),
         "recall_at_k": round(float(recall), 4),
         "index_build": {"train_sec": round(train_sec, 3),
-                        "assign_write_sec": round(assign_write_sec, 3)},
+                        "assign_write_sec": assign_write_sec},
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/ann_ab.json", "w") as f:

@@ -292,3 +292,71 @@ def test_windowed_property_matches_numpy(spark, case):
             want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(p),
                                                     x - mu))
             np.testing.assert_allclose(y @ y, want, rtol=1e-5, atol=1e-6)
+
+
+def test_windowed_session_timezone_independent(spark, windowed_df):
+    """The model match is keyed off JVM-computed epoch seconds on BOTH the
+    fit and projection sides, so changing the Spark session timezone (the
+    rendering the pandas UDF sees for TIMESTAMP_LTZ) must not change a
+    single output value.  Before the fix, driver-collected model keys were
+    rendered in the DRIVER OS timezone while the UDF saw the SESSION
+    timezone — any mismatch silently NULLed the whole windowed output."""
+    out_utc, _ = run_windowed_features(windowed_df, "vec", "ts", "1 hour",
+                                       mode="pca_whiten")
+    a = out_utc.toPandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    tz_conf = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "America/New_York")
+        out_ny, fitted = run_windowed_features(windowed_df, "vec", "ts",
+                                               "1 hour", mode="pca_whiten")
+        b = (out_ny.toPandas().sort_values(["conv_id", "ts"])
+             .reset_index(drop=True))
+    finally:
+        spark.conf.set(tz_conf, prev)
+    assert len(fitted.models) == 4 and not fitted.skipped
+    assert b["feature_vec"].notna().all()  # the old bug NULLed everything
+    np.testing.assert_array_equal(np.stack(a["feature_vec"].to_numpy()),
+                                  np.stack(b["feature_vec"].to_numpy()))
+
+
+def test_windowed_null_extra_key_rows_use_their_model(spark):
+    """A NULL extra key (NULL conv_id) is a real group: the fit records its
+    model (Spark groupBy keeps NULL groups) and the projection must reach it
+    (pandas groupby dropna=False + NaN->None normalization) — before the
+    fix those rows silently projected to NULL while the manifest claimed
+    their model existed."""
+    rng = np.random.default_rng(7)
+    rows = [(None if i % 2 else "a", T0 + dt.timedelta(minutes=i),
+             [float(v) for v in rng.normal(size=3)]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, vec array<double>")
+    out, fitted = run_windowed_features(df, "vec", "ts", "1 hour",
+                                        key_cols=("conv_id",),
+                                        mode="pca_whiten")
+    assert {gk[0] for gk in fitted.models} == {None, "a"}
+    pdf = out.toPandas()
+    assert pdf["feature_vec"].notna().all()
+    eps = 1e-12
+    null_grp = pdf[pdf["conv_id"].isna()]
+    X = np.stack(null_grp["vec"].to_numpy())
+    mu, cov = X.mean(axis=0), np.cov(X, rowvar=False, ddof=1)
+    for _, r in null_grp.iterrows():
+        x, y = np.asarray(r["vec"]), np.asarray(r["feature_vec"])
+        want = float((x - mu) @ np.linalg.solve(cov + eps * np.eye(3), x - mu))
+        np.testing.assert_allclose(y @ y, want, rtol=1e-6, atol=1e-8)
+
+
+def test_windowed_null_ts_rows_excluded_and_null(spark):
+    """Rows with NULL ts have no window: excluded from the fit (no phantom
+    model, no manifest entry) and projected to NULL."""
+    rows = [("a", T0 + dt.timedelta(minutes=m), [float(m), float(m % 3)])
+            for m in range(6)] + [("a", None, [9.0, 9.0])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, vec array<double>")
+    out, fitted = run_windowed_features(df, "vec", "ts", "1 hour")
+    assert len(fitted.models) == 1 and not fitted.skipped
+    assert sum(fitted.counts.values()) == 6
+    pdf = out.toPandas()
+    assert pdf.loc[pdf["ts"].isna(), "feature_vec"].isna().all()
+    assert pdf.loc[pdf["ts"].notna(), "feature_vec"].notna().all()
