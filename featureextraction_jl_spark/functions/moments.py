@@ -394,6 +394,37 @@ def compute_moments_tree(df: DataFrame, vec_col: str, depth: int = 2) -> Moments
     )
 
 
+def pandas_clean_stack(vals: "pd.Series") -> "np.ndarray | None":
+    """pandas twin of ``_batch_to_matrix`` for applyInPandas group kernels:
+    drop NULL rows AND rows containing a null element, raise on ragged
+    groups.  Returns None when no valid rows remain.
+
+    Without the element mask, a single ``[1.0, null, ...]`` vector arrives
+    as NaN and silently poisons its group's mean/M2 (NaN covariance ->
+    eigh LinAlgError or a NaN model in the windowed-PCA fit) — the exact
+    hazard _batch_to_matrix documents and masks on the global path.  One
+    caveat pandas forces: Arrow distinguishes a null element from a real
+    NaN value, but the pandas conversion renders both as NaN, so genuine
+    NaN data values are dropped here too (the Arrow path keeps them).
+    Both group kernels (grouped + salted partial) share this helper, so
+    their pinned equivalence is preserved by construction.
+    """
+    vals = vals.dropna()
+    if len(vals) == 0:
+        return None
+    arrs = vals.to_numpy()
+    lens = np.fromiter((len(v) for v in arrs), dtype=np.int64,
+                       count=len(arrs))
+    if not (lens == lens[0]).all():
+        raise ValueError(
+            f"ragged vector group: lengths "
+            f"{sorted(set(lens.tolist()))[:5]} — moments require "
+            "fixed-dimension vectors (filter or pad upstream)")
+    x = np.stack(arrs).astype(np.float64)
+    x = x[~np.isnan(x).any(axis=1)]
+    return x if len(x) else None
+
+
 def compute_grouped_moments(df: DataFrame, group_cols: list[str], vec_col: str) -> DataFrame:
     """Per-group moments via applyInPandas: one (group, n, mean, m2) row each.
 
@@ -408,16 +439,16 @@ def compute_grouped_moments(df: DataFrame, group_cols: list[str], vec_col: str) 
         + ", n long, mean array<double>, m2 array<double>"
 
     def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # dropna: NULL vectors are dropped like every other moments path
-        # (np.stack would otherwise crash the task); a group with no valid
-        # vectors emits nothing.
-        vals = pdf[vec_col].dropna()
-        if len(vals) == 0:
+        # pandas_clean_stack: NULL vectors AND vectors with a null element
+        # dropped, ragged groups raise — the same semantics as every other
+        # moments path; a group with no valid vectors emits nothing.
+        x = pandas_clean_stack(pdf[vec_col])
+        if x is None:
             # object dtype: Arrow cannot convert an empty float64 ndarray
             # column to list<double>
             return pd.DataFrame({c: pd.Series([], dtype=object) for c in
                                  [*group_cols, "n", "mean", "m2"]})
-        m = batch_moments(np.stack(vals.to_numpy()))
+        m = batch_moments(x)
         row = {c: [k] for c, k in zip(group_cols, key)}
         row.update({"n": [m.n], "mean": [m.mean.tolist()], "m2": [m.m2.ravel().tolist()]})
         return pd.DataFrame(row)

@@ -26,7 +26,13 @@ from featureextraction_jl_spark.functions.moments import Moments
 
 
 def _guarded(col: Column, mu: Column, sigma: Column) -> Column:
-    return F.when(sigma == 0.0, F.lit(0.0)).otherwise((col - mu) / sigma)
+    # NULL input stays NULL even in the zero-sigma branch: a blanket 0.0
+    # there would fabricate observed-looking z-scores for missing rows,
+    # flipping the library's null-propagation contract on and off with the
+    # column's variance.
+    return (F.when(col.isNull(), F.lit(None).cast("double"))
+            .when(sigma == 0.0, F.lit(0.0))
+            .otherwise((col - mu) / sigma))
 
 
 def center_global(df: DataFrame, cols: list[str], moments_by_col: dict[str, float]) -> DataFrame:
@@ -51,8 +57,11 @@ def zscore_global(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         mu, sd = stats[f"__mu_{c}"], stats[f"__sd_{c}"]
         sd = 0.0 if sd is None or sd != sd else sd
+        # sd==0 maps observed values to 0.0 but must keep NULLs NULL (see
+        # _guarded) — a bare lit(0.0) would fabricate data for missing rows.
         out = out.withColumn(
-            c, F.lit(0.0) if sd == 0.0 else (F.col(c) - F.lit(mu)) / F.lit(sd)
+            c, F.when(F.col(c).isNotNull(), F.lit(0.0)) if sd == 0.0
+            else (F.col(c) - F.lit(mu)) / F.lit(sd)
         )
     return out
 

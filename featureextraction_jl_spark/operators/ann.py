@@ -164,14 +164,18 @@ def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
 
 
 def _cosine_to_query(vec_col: Column, q: np.ndarray) -> Column:
-    """Exact cosine vs a literal query vector — pure JVM exprs (q44 shape)."""
+    """Exact cosine vs a literal query vector — pure JVM exprs (q44 shape).
+
+    The query norm is a Python-side constant (one fewer fold per row than
+    the generic cosine_cols)."""
+    from featureextraction_jl_spark.functions.vectors import (
+        dot_cols,
+        norm_col,
+    )
+
     qarr = F.array(*[F.lit(float(v)) for v in q])
-    dot = F.aggregate(F.zip_with(vec_col, qarr, lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = F.sqrt(F.aggregate(F.transform(vec_col, lambda x: x * x),
-                             F.lit(0.0), lambda acc, x: acc + x))
     qn = float(np.linalg.norm(q))
-    return dot / (nrm * F.lit(qn))
+    return dot_cols(vec_col, qarr) / (norm_col(vec_col) * F.lit(qn))
 
 
 def ivf_topk(assigned: DataFrame, query: np.ndarray, centroids: np.ndarray,
@@ -249,19 +253,15 @@ def ivf_topk_batch(assigned: DataFrame, queries: DataFrame,
               .select(query_id_col, query_vec_col,
                       F.explode("__cells").alias(cell_col)))
 
+    from featureextraction_jl_spark.functions.vectors import cosine_cols
+
     joined = assigned.join(F.broadcast(probed), cell_col)
     qv = F.col(query_vec_col).cast("array<double>")
     cv = F.col(vec_col).cast("array<double>")
-    dot = F.aggregate(F.zip_with(cv, qv, lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = (F.sqrt(F.aggregate(F.transform(cv, lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x))
-           * F.sqrt(F.aggregate(F.transform(qv, lambda x: x * x),
-                                F.lit(0.0), lambda acc, x: acc + x)))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col))
     return (joined
             .select(query_id_col, id_col,
-                    F.round(dot / nrm, 6).alias("cosine"))
+                    F.round(cosine_cols(cv, qv), 6).alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -200,18 +200,41 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, on: str,
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0:
             return pd.DataFrame(columns=list(lpdf.columns) + right_cols)
-        lo = lpdf.sort_values(left_ts, kind="stable")
-        if len(rpdf) == 0:
-            out = lo.copy()
+        # Null-ts handling mirrors the production sweep (_union_sweep):
+        # right rows with NULL ts can never be an as-of match -> dropped;
+        # left rows with NULL ts pass through unmatched.  Without this,
+        # pd.merge_asof raises ValueError("Merge keys contain null values")
+        # on a single NaT on EITHER side, killing the task — a cross-check
+        # that dies on inputs the primary path tolerates checks nothing.
+        null_left = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()]
+        rpdf = rpdf[rpdf[right_ts].notna()]
+        parts = []
+        if len(null_left):
+            nl = null_left.copy()
             for c in right_cols:
-                out[c] = None
-            return out
-        ro = rpdf.sort_values(right_ts, kind="stable")[[right_ts] + right_cols]
-        merged = pd.merge_asof(lo, ro, left_on=left_ts, right_on=right_ts,
-                               direction=direction, tolerance=tol,
-                               suffixes=("", "__r"))
-        drop = [c for c in (f"{right_ts}__r", right_ts)
-                if c in merged.columns and c not in lpdf.columns]
-        return merged.drop(columns=drop)
+                nl[c] = None
+            parts.append(nl)
+        if len(lpdf):
+            lo = lpdf.sort_values(left_ts, kind="stable")
+            if len(rpdf) == 0:
+                out = lo.copy()
+                for c in right_cols:
+                    out[c] = None
+                parts.append(out)
+            else:
+                ro = (rpdf.sort_values(right_ts, kind="stable")
+                      [[right_ts] + right_cols])
+                merged = pd.merge_asof(lo, ro, left_on=left_ts,
+                                       right_on=right_ts,
+                                       direction=direction, tolerance=tol,
+                                       suffixes=("", "__r"))
+                drop = [c for c in (f"{right_ts}__r", right_ts)
+                        if c in merged.columns and c not in lpdf.columns]
+                parts.append(merged.drop(columns=drop))
+        if not parts:
+            return pd.DataFrame(columns=list(lpdf.columns) + right_cols)
+        return parts[0] if len(parts) == 1 else pd.concat(parts,
+                                                          ignore_index=True)
 
     return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema)

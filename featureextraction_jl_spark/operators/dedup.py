@@ -246,7 +246,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_df: int | None = None,
+                        max_df: int | None = 2000,
                         max_df_frac: float | None = None,
                         size_strategy: str = "reagg",
                         persist_grams: bool = False) -> DataFrame:
@@ -262,7 +262,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     document frequency > max_df are dropped from BOTH the inverted index and
     the set sizes (Jaccard is then exact over the pruned gram space).  The
     frequent-gram set is tiny by construction (heavy hitters only), so the
-    exclusion is a broadcast anti-join — no extra full shuffle.
+    exclusion is a broadcast anti-join — no extra full shuffle.  The DEFAULT
+    is a finite cap (2000 — the policy minhash_lsh_pairs' max_bucket set:
+    the degenerate-corpus quadratic must not ship with the guard off).
+    10^7 NULL/empty-text docs all share the single xxhash64(NULL) gram —
+    unguarded, that one inverted-index key emits ~10^14 join rows.  2000 is
+    inert on healthy small corpora (DF can't exceed corpus size) and bounds
+    any key at ~4*10^6 join rows; pass ``max_df=None`` (with no frac) for
+    exact unpruned semantics.  When BOTH thresholds are given they compose
+    (prune if either is exceeded), so q43's explicit 10% frac still binds
+    under the default absolute cap.
 
     ``max_df_frac``: same pruning with the threshold expressed as a fraction
     of the corpus size, resolved INSIDE the plan (a count(1) aggregate
@@ -303,16 +312,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     if max_df is not None or max_df_frac is not None:
         gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+        # The two thresholds COMPOSE (prune grams exceeding EITHER): with a
+        # finite max_df default, an explicit max_df_frac (q43) must still
+        # bind — an either/or here would silently shadow the caller's frac
+        # behind the default absolute cap.
+        cond = None
         if max_df is not None:
-            frequent = gram_df.filter(F.col("__df") > max_df).select("g")
-        else:
-            # count(1) over a column-pruned scan; broadcast onto the gram-DF
-            # frame so the threshold is part of this one plan, not an action.
+            cond = F.col("__df") > max_df
+        if max_df_frac is not None:
+            # count(1) over a column-pruned scan; broadcast onto the tiny
+            # gram-DF frame so the threshold is part of this one plan, not
+            # a separate driver-side count action.
             ndocs = df.agg(F.count(F.lit(1)).alias("__nd"))
-            frequent = (gram_df.crossJoin(F.broadcast(ndocs))
-                        .filter(F.col("__df") >
-                                F.col("__nd") * F.lit(float(max_df_frac)))
-                        .select("g"))
+            gram_df = gram_df.crossJoin(F.broadcast(ndocs))
+            frac_cond = (F.col("__df") >
+                         F.col("__nd") * F.lit(float(max_df_frac)))
+            cond = frac_cond if cond is None else (cond | frac_cond)
+        frequent = gram_df.filter(cond).select("g")
         grams = grams.join(F.broadcast(frequent), on="g", how="left_anti")
     if persist_grams:
         grams = grams.persist()
@@ -622,15 +638,20 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         .distinct()
     )
 
-    norm = F.sqrt(F.aggregate(F.transform("__v", lambda x: x * x), F.lit(0.0),
-                              lambda acc, x: acc + x))
-    vecs = df.select(F.col(id_col).alias("__id"), v.alias("__v")).withColumn("__n", norm)
+    from featureextraction_jl_spark.functions.vectors import (
+        dot_cols,
+        norm_col,
+    )
+
+    # Norms precomputed per side BEFORE the join (per-row constants; the
+    # composed cosine_cols would re-fold them per candidate pair).
+    vecs = df.select(F.col(id_col).alias("__id"), v.alias("__v")) \
+             .withColumn("__n", norm_col(F.col("__v")))
     va = vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
                      F.col("__n").alias("__na"))
     vb = vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
                      F.col("__n").alias("__nb"))
-    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
+    dot = dot_cols(F.col("__va"), F.col("__vb"))
     return (
         cand.join(va, on="id_a").join(vb, on="id_b")
         .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))

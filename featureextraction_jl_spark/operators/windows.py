@@ -61,11 +61,16 @@ def rolling_time(df: DataFrame, key, ts_col: str, aggs: dict[str, Column],
     """
     key = [key] if isinstance(key, str) else list(key)
     # rangeBetween needs integer bounds: order on microsecond epoch longs.
+    # round(), not int(): int() truncates toward zero, so a lookback whose
+    # seconds*1e6 is not exactly representable (8.2 -> 8199999.999...)
+    # loses 1 us and a row at exactly current - lookback falls OUT of the
+    # documented closed interval (the boundary-shift class epoch_micros
+    # itself was introduced to kill).
     micros = epoch_micros(ts_col)
     w = (
         Window.partitionBy(*key)
         .orderBy(micros)
-        .rangeBetween(-int(lookback_seconds * 1e6), 0)
+        .rangeBetween(-round(lookback_seconds * 1e6), 0)
     )
     exprs = [F.col(c) for c in df.columns]
     for name, agg in aggs.items():

@@ -127,13 +127,17 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
 
     # stage 1: bounded partials per (key, salt)
     def partial(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # NULL vectors dropped, matching compute_grouped_moments (the
-        # equivalence this module is test-pinned against).
-        vals = pdf["__vec"].dropna()
-        if len(vals) == 0:
+        # pandas_clean_stack: NULL vectors and null-element vectors dropped,
+        # ragged groups raise — SHARED with compute_grouped_moments so the
+        # test-pinned equivalence of the two plans holds by construction.
+        from featureextraction_jl_spark.functions.moments import (
+            pandas_clean_stack,
+        )
+
+        x = pandas_clean_stack(pdf["__vec"])
+        if x is None:
             return pd.DataFrame({c: pd.Series([], dtype=object)
                                  for c in [key, "n", "mean", "m2"]})
-        x = np.stack(vals.to_numpy())
         n = x.shape[0]
         mean = x.mean(axis=0)
         xc = x - mean

@@ -612,3 +612,39 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None))
         assert sc.getCheckpointDir() is None
+
+
+def test_ngram_default_caps_degenerate_corpus(spark):
+    """The PRODUCTION DEFAULT of ngram_jaccard_pairs must survive a
+    degenerate corpus (policy parity with minhash max_bucket): 5k
+    empty-text docs all share the single xxhash64(NULL) gram — unguarded
+    that key alone emits ~12.5M join rows (10^14 at 10^7 docs).  With the
+    default max_df the stop-gram is pruned in bounded time and the real
+    near-dup pair is still found."""
+    n = 5000
+    degenerate = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("").alias("text"))
+    real = spark.createDataFrame(
+        [(n + 1, "the quick brown fox jumps over the lazy dog"),
+         (n + 2, "the quick brown fox jumps over the lazy dogs")],
+        "doc_id long, text string")
+    d = degenerate.unionByName(real)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(d, "text", "doc_id", n=3,
+                                          threshold=0.5).collect()}
+    assert (n + 1, n + 2) in pairs
+    assert all(a == n + 1 and b == n + 2 for a, b in pairs)
+
+
+def test_ngram_df_thresholds_compose(spark):
+    """When max_df AND max_df_frac are both given, a gram exceeding EITHER
+    is pruned — the default absolute cap must not shadow an explicit frac
+    (q43 passes max_df_frac under the default max_df)."""
+    docs = [(i, "xy shared") for i in range(8)] + [(100, "xy"), (101, "xy")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    # frac binds far below the absolute cap: "xy"-grams appear in all 10
+    # docs (df=10 > 0.5*10) -> pruned even though df << max_df=2000
+    got = ngram_jaccard_pairs(d, "text", "doc_id", n=2, threshold=0.01,
+                              max_df=2000, max_df_frac=0.5).collect()
+    shared_only = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100, 101) not in shared_only  # all their grams were ubiquitous

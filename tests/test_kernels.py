@@ -471,3 +471,55 @@ def test_zscore_vec_udf_propagates_null_vectors(spark):
     for r in got:
         if r["z"] is not None:
             assert np.isfinite(r["z"]).all()
+
+
+def test_grouped_moments_mask_null_elements(spark):
+    """A vector with a null ELEMENT must be dropped from its group, not
+    NaN-poison the group's mean/M2 (the global Arrow path masks these via
+    child validity; the grouped/salted pandas kernels share
+    pandas_clean_stack for the same semantics)."""
+    from featureextraction_jl_spark.plans.salting import salted_grouped_moments
+
+    rows = [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("a", [1.0, None]),
+            ("a", None), ("b", [5.0, 5.0]), ("b", [None, None])]
+    df = spark.createDataFrame(rows, "g string, vec array<double>")
+    for frame in (compute_grouped_moments(df, ["g"], "vec"),
+                  salted_grouped_moments(df, "g", "vec",
+                                         sample_fraction=None)):
+        got = {r["g"]: r for r in frame.collect()}
+        assert got["a"]["n"] == 2
+        np.testing.assert_allclose(got["a"]["mean"], [2.0, 4.0])
+        assert not any(np.isnan(got["a"]["m2"]))
+        assert got["b"]["n"] == 1
+        np.testing.assert_allclose(got["b"]["mean"], [5.0, 5.0])
+
+
+def test_grouped_moments_ragged_group_raises(spark):
+    """Ragged vectors raise the explicit fixed-dimension error (the global
+    path's _batch_to_matrix contract), never a silent mis-stack."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [("a", [1.0, 2.0]), ("a", [3.0])]
+    df = spark.createDataFrame(rows, "g string, vec array<double>")
+    with pytest.raises(Exception) as ei:
+        compute_grouped_moments(df, ["g"], "vec").collect()
+    assert "ragged" in str(ei.value)
+
+
+def test_zscore_null_inputs_stay_null_in_zero_sigma_branch(spark):
+    """sd==0 maps observed values to 0.0 but must NOT fabricate 0.0 for
+    NULL inputs — null propagation cannot flip with the column variance."""
+    pdf = pd.DataFrame({"c": [7.0, 7.0, None, 7.0]})
+    df = spark.createDataFrame(pdf)
+    out = zscore_global(df, ["c"]).toPandas()
+    assert out["c"].isna().sum() == 1
+    assert (out["c"].dropna() == 0.0).all()
+
+    pdf2 = pd.DataFrame({"g": ["a"] * 3 + ["b"] * 3,
+                         "c": [7.0, None, 7.0, 1.0, 2.0, None]})
+    out2 = zscore_by_group(spark.createDataFrame(pdf2), ["g"], ["c"]).toPandas()
+    za = out2.loc[out2.g == "a", "c"]
+    assert za.isna().sum() == 1 and (za.dropna() == 0.0).all()
+    zb = out2.loc[out2.g == "b", "c"]
+    assert zb.isna().sum() == 1 and not (zb.dropna() == 0.0).any()

@@ -437,3 +437,47 @@ def test_asof_right_order_must_be_payload_columns(spark, transcripts, snapshots)
                    right_ts="snapshot_ts", right_order=("snap_score",))
     assert sorted(ok.columns) == sorted(
         ["conv_id", "turn_idx", "ts", "snap_score"])
+
+
+def test_rolling_time_exact_boundary_with_inexact_lookback(spark):
+    """A row at exactly current - lookback IS aggregated even when
+    lookback*1e6 is not exactly float-representable (8.2 -> 8199999.999...):
+    int() truncation lost 1 us and dropped the boundary row, violating the
+    documented closed interval."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("a", t0, 1.0),
+            ("a", t0 + dt.timedelta(seconds=8.2), 1.0)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    got = rolling_time(df, "conv_id", "ts", {"cnt": F.count("v")},
+                       lookback_seconds=8.2).toPandas()
+    got = got.sort_values("ts").reset_index(drop=True)
+    assert got["cnt"].tolist() == [1, 2]  # boundary row included
+
+
+def test_asof_pandas_tolerates_null_timestamps(spark):
+    """The cross-check twin must survive NULL ts on either side like the
+    production sweep does (drop null right-ts, pass through null left-ts
+    unmatched) — pd.merge_asof otherwise raises on a single NaT key and a
+    cross-check that dies on inputs the primary path tolerates checks
+    nothing."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    left_rows = [("a", 0, t0 + dt.timedelta(minutes=5)),
+                 ("a", 1, None)]
+    right_rows = [("a", t0, 10.0),
+                  ("a", None, 99.0)]
+    left = spark.createDataFrame(
+        left_rows, "conv_id string, turn_idx int, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "conv_id string, snapshot_ts timestamp, snap_score double")
+    a = asof_join(left, right, on="conv_id", left_ts="ts",
+                  right_ts="snapshot_ts").toPandas()
+    b = asof_join_pandas(left, right, on="conv_id", left_ts="ts",
+                         right_ts="snapshot_ts").toPandas()
+    for out in (a, b):
+        out = out.sort_values("turn_idx").reset_index(drop=True)
+        assert out.loc[0, "snap_score"] == 10.0   # matched, never the NaT row
+        assert pd.isna(out.loc[1, "snap_score"])  # null left ts -> unmatched
