@@ -148,6 +148,7 @@ def run_features_resumable(
     cfg: FeatureJobConfig | None = None,
     n_units: int = 8,
     fail_after_units: int | None = None,
+    fmt: str | None = None,
 ) -> dict[str, Any]:
     """Run (or resume) the flagship feature job; returns the job manifest.
 
@@ -167,8 +168,18 @@ def run_features_resumable(
         return bool(man) and man.get("input_fingerprint") == fp \
             and man.get("config_hash") == chash
 
-    transcripts = spark.read.parquet(transcripts_path)
-    snapshots = spark.read.parquet(snapshots_path) if snapshots_path else None
+    # Through the schema-asserting reader, not a bare spark.read.parquet:
+    # a transcripts dir with ts stored as long or a missing column must
+    # fail HERE with the contract error, not deep in the plan; ``fmt``
+    # ("iceberg") selects the catalog branch on a real cluster.
+    from featureextraction_jl_spark.sources.tables import (
+        read_table,
+        read_transcripts,
+    )
+
+    transcripts = read_transcripts(spark, transcripts_path, fmt)
+    snapshots = (read_table(spark, snapshots_path, fmt)
+                 if snapshots_path else None)
 
     # ---- fit stage -------------------------------------------------------
     # Global mode persists ONE model.npz; windowed mode (cfg.window_duration)
@@ -181,6 +192,14 @@ def run_features_resumable(
         os.path.join(model_path, "index.json") if windowed else model_path)
     fit_man_path = os.path.join(mdir, "fit.json")
     fit_man = _read_json(fit_man_path)
+    # The artifact carries its own provenance sidecar (written atomically
+    # AFTER the artifact, BEFORE fit.json): fit.json alone cannot vouch for
+    # the artifact bytes — a crash between a NEWER run's model.save and its
+    # fit.json write leaves a mismatched artifact next to an older-valid
+    # manifest, and resuming would project every remaining unit through the
+    # wrong model (windowed keys would all miss -> silent all-NULL units).
+    meta_path = os.path.join(mdir, "model.meta.json")
+    model_ready = model_ready and valid(_read_json(meta_path))
     if valid(fit_man) and model_ready:
         model = (WindowedPCA.load(model_path) if windowed
                  else PCAModel.load(model_path))
@@ -194,6 +213,9 @@ def run_features_resumable(
         model = fit_windowed_pca(prepared, "raw_vec", "ts",
                                  cfg.window_duration, k=cfg.k, mode=cfg.mode)
         model.save(model_path)
+        _write_json_atomic(meta_path, {
+            "input_fingerprint": fp, "config_hash": chash,
+            "artifact": os.path.basename(model_path)})
         fit_man = {
             "stage": "fit",
             "input_fingerprint": fp,
@@ -213,6 +235,9 @@ def run_features_resumable(
         moments = compute_moments(prepared, "raw_vec")
         model = fit_pca(moments, k=cfg.k, mode=cfg.mode)
         model.save(model_path)
+        _write_json_atomic(meta_path, {
+            "input_fingerprint": fp, "config_hash": chash,
+            "artifact": os.path.basename(model_path)})
         fit_man = {
             "stage": "fit",
             "input_fingerprint": fp,
@@ -307,7 +332,50 @@ def run_features_resumable(
     return job
 
 
-def read_feature_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the union of all completed units' outputs."""
+def read_feature_output(spark: SparkSession, out_dir: str,
+                        validate: bool = True) -> DataFrame:
+    """Read the union of all completed units' outputs.
+
+    ``validate`` (default) checks the unit manifests BEFORE the glob
+    union: every unit dir must carry a readable manifest, all manifests
+    must agree on ONE (input_fingerprint, config_hash) version, and the
+    unit set must be complete for the recorded n_units — otherwise a run
+    that crashed mid-recompute over changed input leaves unit=0 holding
+    v2 rows beside v1 units, and the bare glob would return the mixed
+    union with no error.  Pass validate=False to inspect partial output.
+    """
+    if validate:
+        mdir = os.path.join(out_dir, MANIFEST_DIR)
+        units = []
+        for entry in os.listdir(out_dir):
+            if entry.startswith("unit="):
+                try:
+                    units.append(int(entry.split("=", 1)[1]))
+                except ValueError:
+                    raise ValueError(
+                        f"unparseable unit dir {entry!r} under {out_dir}")
+        if not units:
+            raise FileNotFoundError(f"no unit=* output under {out_dir}")
+        versions, n_units_seen = set(), set()
+        for k in sorted(units):
+            man = _read_json(os.path.join(mdir, f"unit_{k}.json"))
+            if not man:
+                raise ValueError(
+                    f"unit={k} has data but no readable manifest — "
+                    f"crashed or foreign output; validate=False to read "
+                    f"anyway")
+            versions.add((man.get("input_fingerprint"),
+                          man.get("config_hash")))
+            n_units_seen.add(man.get("n_units"))
+        if len(versions) > 1:
+            raise ValueError(
+                f"mixed input/config versions across units: {versions} — "
+                f"a crashed re-run over changed input; re-run "
+                f"run_features_resumable to completion first")
+        n_units = n_units_seen.pop() if len(n_units_seen) == 1 else None
+        if n_units is None or set(range(n_units)) - set(units):
+            raise ValueError(
+                f"incomplete output: have units {sorted(units)} of "
+                f"n_units={n_units}")
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "unit=*"))

@@ -160,12 +160,15 @@ def run_features(transcripts: DataFrame, snapshots: DataFrame | None = None,
             project_windowed,
         )
 
-        # Same two-pass shape as the global path (moment fit + projection
-        # both traverse `prepared`), so the same opt-in cache applies;
-        # without this the flag was silently dead in windowed mode.
-        if cfg.cache_prepared:
-            prepared = prepared.persist()
         if model is None:
+            # Same two-pass shape as the global path (moment fit +
+            # projection both traverse `prepared`), so the same opt-in
+            # cache applies — but ONLY when fitting: a transform-only call
+            # (pre-fitted model, e.g. once per resumable unit) traverses
+            # the chain exactly once and would just leak a cached
+            # text-heavy frame per unit.
+            if cfg.cache_prepared:
+                prepared = prepared.persist()
             model = fit_windowed_pca(prepared, "raw_vec", "ts",
                                      cfg.window_duration, k=cfg.k,
                                      mode=cfg.mode)

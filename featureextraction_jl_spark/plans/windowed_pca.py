@@ -52,7 +52,7 @@ projection matches them (``dropna=False`` + NaN->None normalization).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -111,6 +111,12 @@ class WindowedPCA:
     #: rows accumulated per fitted group (manifests/metrics; not required
     #: for projection)
     counts: dict = None
+    #: per-(applicationId, lag) broadcast of the projection lut, reused
+    #: across project_windowed calls on the same fitted object — the
+    #: resumable runner projects once PER UNIT, and re-broadcasting a
+    #: ~100 MB model map 256 times would pile ~25 GB of never-destroyed
+    #: broadcast blocks onto the block manager
+    _bc_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     def save(self, dir_path: str) -> None:
         """Persist as a directory: one ``.npz`` per window model plus an
@@ -301,16 +307,22 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
     lag_s = 0.0
     if lag_models:
         lag_s = lag_models * _duration_seconds(fitted.duration)
-    lut = {}
-    for gk, model in fitted.models.items():
-        key = gk[:-1] + (pd.Timestamp(gk[-1]).value / 1e9 + lag_s,)
-        lut[key] = (model.mu, model.projection)
     # Explicit sc.broadcast, NOT the closure: a closure-captured map is
     # re-serialized into every task binary, so at max_models=10^5 windows
     # (~10^5 * p*k doubles ~ 100 MB) every task ships the whole model map.
     # The broadcast moves it once per EXECUTOR over the torrent protocol;
-    # the closure carries only the handle.
-    bc = df.sparkSession.sparkContext.broadcast(lut)
+    # the closure carries only the handle.  Cached per (app, lag) on the
+    # fitted object so per-unit resumable calls reuse ONE broadcast.
+    sc = df.sparkSession.sparkContext
+    bc_key = (sc.applicationId, lag_s)
+    bc = fitted._bc_cache.get(bc_key)
+    if bc is None:
+        lut = {}
+        for gk, model in fitted.models.items():
+            key = gk[:-1] + (pd.Timestamp(gk[-1]).value / 1e9 + lag_s,)
+            lut[key] = (model.mu, model.projection)
+        bc = sc.broadcast(lut)
+        fitted._bc_cache[bc_key] = bc
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _project(*cols: pd.Series) -> pd.Series:
@@ -337,7 +349,15 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
             if len(take) == 0:
                 continue
             x = np.stack(vecs.loc[take].to_numpy()).astype(np.float64)
-            out.loc[take] = pd.Series(list((x - mu) @ w), index=take)
+            # vectors with a null ELEMENT arrive as NaN rows: project them
+            # to NULL like the fit side dropped them (pandas_clean_stack) —
+            # an unmasked NaN row would emit NaN features that pass a
+            # feature_vec IS NULL filter downstream
+            good = ~np.isnan(x).any(axis=1)
+            take = take[good]
+            if len(take) == 0:
+                continue
+            out.loc[take] = pd.Series(list((x[good] - mu) @ w), index=take)
         return out
 
     win_col = _window_epoch(ts_col, fitted.duration)

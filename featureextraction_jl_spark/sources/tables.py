@@ -80,12 +80,37 @@ def bucket_and_sort(df: DataFrame, key: str = "conv_id", ts_col: str = "ts",
 def write_features(df: DataFrame, path: str, fmt: str = "parquet",
                    mode: str = "overwrite", bucket_col: str | None = None,
                    num_buckets: int = 64) -> None:
-    """Feature sink (B3). Iceberg branch uses hidden bucket partitioning."""
+    """Feature sink (B3). Iceberg branch uses hidden bucket partitioning.
+
+    ``mode`` is honored on BOTH branches ("append" appends to the Iceberg
+    table instead of replacing it — a silently-replacing append is data
+    loss); ``bucket_col`` on the parquet branch clusters rows by hash
+    bucket before the write (the closest path-sink analogue of hidden
+    bucket partitioning — true parquet bucketing needs saveAsTable and a
+    metastore, which a bare path has no place to record bucket metadata
+    for).
+    """
     if fmt == "iceberg":
         writer = df.writeTo(path)
         if bucket_col:
             from pyspark.sql.functions import bucket
             writer = writer.partitionedBy(bucket(num_buckets, bucket_col))
-        writer.createOrReplace()
+        if mode == "append":
+            writer.append()
+        elif mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            raise ValueError(
+                f"write_features(fmt='iceberg') supports mode "
+                f"'overwrite'|'append', got {mode!r}")
         return
+    if bucket_col:
+        # cluster by the same hash-bucket expression Iceberg's bucket()
+        # transform uses conceptually: co-locates each bucket's rows into
+        # one file so bucket-key scans touch few files (without a
+        # metastore there is nowhere to RECORD bucket metadata, so this is
+        # layout clustering, not metadata bucketing — documented, not
+        # silently dropped)
+        df = df.repartition(num_buckets, F.col(bucket_col)) \
+               .sortWithinPartitions(bucket_col)
     df.write.mode(mode).parquet(path)

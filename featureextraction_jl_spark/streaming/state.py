@@ -25,6 +25,7 @@ from featureextraction_jl_spark.functions.moments import (
     Moments,
     batch_moments,
     merge_moments,
+    pandas_clean_stack,
 )
 
 _STATE_SCHEMA = "n long, mean array<double>, m2 array<double>"
@@ -68,13 +69,16 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str,
         else:
             acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
         for pdf in pdfs:
-            # dropna: a NULL vector is a poison pill otherwise — np.stack
-            # raises, the micro-batch fails, and the checkpoint re-offers
-            # the same batch on every restart, wedging the query forever.
-            vals = pdf[vec_col].dropna()
-            if len(vals) == 0:
+            # pandas_clean_stack: NULL vectors AND null-element vectors are
+            # dropped, ragged raises — the batch paths' semantics, and the
+            # poison-pill guard: an unmasked null element folds NaN into the
+            # CUMULATIVE state (every later emission NaN forever), and a
+            # ragged vector fails the micro-batch, which the checkpoint
+            # re-offers on every restart, wedging the query.
+            x = pandas_clean_stack(pdf[vec_col])
+            if x is None:
                 continue
-            acc = merge_moments(acc, batch_moments(np.stack(vals.to_numpy())))
+            acc = merge_moments(acc, batch_moments(x))
         state.update((acc.n, acc.mean.tolist(), acc.m2.ravel().tolist()))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
@@ -130,11 +134,12 @@ def streaming_moments_tws(stream: DataFrame, key_col: str,
             else:
                 acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
             for pdf in rows:
-                vals = pdf[vec_col].dropna()  # NULL vec: poison pill otherwise
-                if len(vals) == 0:
+                # same null-element/ragged mask as the applyInPandasWithState
+                # twin (shared pandas_clean_stack)
+                x = pandas_clean_stack(pdf[vec_col])
+                if x is None:
                     continue
-                acc = merge_moments(
-                    acc, batch_moments(np.stack(vals.to_numpy())))
+                acc = merge_moments(acc, batch_moments(x))
             self._state.update((acc.n, acc.mean.tolist(),
                                 acc.m2.ravel().tolist()))
             yield pd.DataFrame({"key": [key[0]], "n": [acc.n],

@@ -41,6 +41,11 @@ def parse_args(argv=None):
                    choices=["pca", "pca_whiten", "zca"])
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument("--snap-dim", type=int, default=16)
+    p.add_argument("--format", default=None, dest="fmt",
+                   choices=["parquet", "iceberg"],
+                   help="input table format; default reads parquet paths, "
+                        "'iceberg' reads catalog table names (the cluster "
+                        "design target)")
     p.add_argument("--window", default=None, metavar="DURATION",
                    help="fit one PCA/whitening model per tumbling window of "
                         "this duration (e.g. '1 day') instead of one global "
@@ -70,7 +75,7 @@ def main(argv=None) -> int:
                            window_duration=args.window)
     job = run_features_resumable(spark, args.transcripts, args.out,
                                  snapshots_path=args.snapshots, cfg=cfg,
-                                 n_units=args.units)
+                                 n_units=args.units, fmt=args.fmt)
     print(json.dumps({"status": "ok", "rows": job["rows"],
                       "units_resumed": job["units_resumed"],
                       "output_bytes": job["output_bytes"]}))

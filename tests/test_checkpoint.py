@@ -157,3 +157,83 @@ def test_resumable_windowed_equals_direct_and_resumes(spark, inputs, tmp_path):
     assert job2["units_resumed"] == list(range(N_UNITS))
     assert job2["units_computed_this_run"] == []
     assert job2["rows"] == job["rows"]
+
+
+def test_stale_model_artifact_triggers_refit(spark, inputs, direct, tmp_path):
+    """A model artifact left by a DIFFERENT run (crash between model.save
+    and fit.json: newer artifact beside an older-valid manifest) must not
+    be loaded — the sidecar model.meta.json ties the artifact bytes to the
+    (input, config) that produced them, so a mismatch refits instead of
+    silently projecting every unit through the wrong model."""
+    tdir, sdir = inputs
+    out = str(tmp_path / "out_meta")
+    run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+    mdir = os.path.join(out, "_manifest")
+    meta = json.load(open(os.path.join(mdir, "model.meta.json")))
+
+    # simulate the foreign artifact: poison model.npz AND its sidecar with
+    # a different config's hash, keep fit.json (still valid for CFG)
+    other = FeatureJobConfig(num_buckets=8, k=2, snap_dim=16)
+    t = spark.read.parquet(tdir)
+    s = spark.read.parquet(sdir)
+    _, wrong_model = run_features(t, s, other)
+    wrong_model.save(os.path.join(mdir, "model.npz"))
+    meta["config_hash"] = config_hash(other, N_UNITS)
+    with open(os.path.join(mdir, "model.meta.json"), "w") as f:
+        json.dump(meta, f)
+    # invalidate one unit so the resume actually recomputes something
+    os.remove(os.path.join(mdir, "unit_0.json"))
+
+    run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+    k2, v2 = _collect(read_feature_output(spark, out))
+    k1, v1 = direct
+    assert k2 == k1
+    np.testing.assert_allclose(v2, v1, rtol=1e-9, atol=1e-10)
+    # and the sidecar was rewritten for THIS run
+    meta2 = json.load(open(os.path.join(mdir, "model.meta.json")))
+    assert meta2["config_hash"] == config_hash(CFG, N_UNITS)
+
+
+def test_read_feature_output_rejects_mixed_versions(spark, inputs, tmp_path):
+    """A crashed re-run over CHANGED input leaves v2 units beside v1 units;
+    the validated reader must refuse the mixed union (validate=False reads
+    it for inspection)."""
+    tdir, sdir = inputs
+    out = str(tmp_path / "out_mixed")
+    run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+
+    # change the input bytes (append one conversation) -> new fingerprint
+    extra = generate_transcripts(spark, 3, seed=99, max_turns=5,
+                                 mega_turns=0)
+    extra.write.mode("append").parquet(tdir)
+    try:
+        with pytest.raises(SimulatedCrash):
+            run_features_resumable(spark, tdir, out, sdir, CFG,
+                                   n_units=N_UNITS, fail_after_units=1)
+        with pytest.raises(ValueError, match="mixed"):
+            read_feature_output(spark, out)
+        # escape hatch for partial inspection
+        assert read_feature_output(spark, out, validate=False).count() > 0
+        # completing the run heals the output
+        run_features_resumable(spark, tdir, out, sdir, CFG, n_units=N_UNITS)
+        read_feature_output(spark, out)
+    finally:
+        # restore the shared module-scoped input for later tests
+        import shutil
+        shutil.rmtree(tdir)
+        generate_transcripts(spark, 150, seed=7, max_turns=60,
+                             mega_turns=400).write.parquet(tdir)
+
+
+def test_resumable_asserts_input_schema(spark, tmp_path):
+    """Inputs go through the schema-asserting reader: a transcripts table
+    whose ts is a LONG (or with a missing column) fails loudly at entry,
+    not deep in the plan."""
+    bad = str(tmp_path / "bad_transcripts")
+    spark.range(10).selectExpr(
+        "cast(id as string) conv_id", "cast(id as int) turn_idx",
+        "'user' role", "'x' text", "cast(null as string) tool",
+        "id as ts").write.parquet(bad)
+    with pytest.raises(ValueError, match="transcripts column ts"):
+        run_features_resumable(spark, bad, str(tmp_path / "o"), None, CFG,
+                               n_units=2)

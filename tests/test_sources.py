@@ -90,3 +90,36 @@ def test_iceberg_branch_keep_warm(spark, tdir, tmp_path):
                    bucket_col="conv_id", num_buckets=4)
     back = spark.read.format("iceberg").load("local.db.features_probe")
     assert back.count() == df.count()
+
+
+def test_write_features_append_mode(spark, tmp_path):
+    """mode='append' must append on the parquet branch (and is honored on
+    the Iceberg branch via writer.append() — a silently-replacing append
+    is data loss)."""
+    df = spark.range(10).selectExpr("id", "id * 2 as v")
+    out = str(tmp_path / "feat_append")
+    write_features(df, out, mode="append")
+    write_features(df, out, mode="append")
+    assert spark.read.parquet(out).count() == 20
+    import pytest
+
+    with pytest.raises(ValueError, match="overwrite.*append|append.*overwrite"):
+        # unknown Iceberg mode fails loudly instead of silently replacing
+        write_features(df, "local.db.x", fmt="iceberg", mode="ignore")
+
+
+def test_write_features_bucket_col_clusters_parquet(spark, tmp_path):
+    """bucket_col on the parquet branch clusters rows by hash bucket (one
+    file per bucket) instead of being silently ignored; the data round-trips
+    exactly."""
+    import glob
+
+    df = spark.range(1000).selectExpr("cast(id % 7 as string) conv_id",
+                                      "id as v")
+    out = str(tmp_path / "feat_bucketed")
+    write_features(df, out, bucket_col="conv_id", num_buckets=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert sorted(r.v for r in back.collect()) == list(range(1000))
+    files = [f for f in glob.glob(out + "/*.parquet")]
+    assert 0 < len(files) <= 4  # clustered: at most one file per bucket

@@ -77,6 +77,13 @@ def test_streaming_moments_equal_batch(spark, tmp_path):
             # would fail, and the checkpoint would replay it forever)
             vecs[7] = None
             vecs[150] = None
+            # null ELEMENT: worse than a crash — unmasked it folds NaN into
+            # the CUMULATIVE state and every later emission for that key is
+            # NaN forever (batch paths drop these rows via
+            # _batch_to_matrix/pandas_clean_stack; the stream must match)
+            poisoned = list(vecs[42])
+            poisoned[3] = None
+            vecs[42] = poisoned
         pdf = pd.DataFrame({
             "key": [f"k{j % 4}" for j in range(200)],
             "vec": vecs,
@@ -97,7 +104,9 @@ def test_streaming_moments_equal_batch(spark, tmp_path):
     streamed = merge_moment_rows(last)
 
     batch = compute_moments(spark.read.parquet(vdir), "vec")
-    assert streamed.n == batch.n == 598     # both sides dropped the 2 nulls
+    # both sides dropped the 2 NULL vectors AND the null-element vector
+    assert streamed.n == batch.n == 597
+    assert not np.isnan(streamed.mean).any()
     np.testing.assert_allclose(streamed.mean, batch.mean, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(streamed.m2, batch.m2, rtol=1e-8, atol=1e-8)
 

@@ -360,3 +360,41 @@ def test_windowed_null_ts_rows_excluded_and_null(spark):
     pdf = out.toPandas()
     assert pdf.loc[pdf["ts"].isna(), "feature_vec"].isna().all()
     assert pdf.loc[pdf["ts"].notna(), "feature_vec"].notna().all()
+
+
+def test_windowed_null_element_vec_projects_null_not_nan(spark):
+    """A vector with a null ELEMENT is excluded from the fit
+    (pandas_clean_stack) — the projection must give it NULL too, never NaN
+    features that pass a feature_vec IS NULL filter downstream."""
+    rows = [("a", T0 + dt.timedelta(minutes=m), [float(m), 1.0 + m % 3])
+            for m in range(6)]
+    rows.append(("a", T0 + dt.timedelta(minutes=7), [1.0, None]))
+    df = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, vec array<double>")
+    out, fitted = run_windowed_features(df, "vec", "ts", "1 hour")
+    assert sum(fitted.counts.values()) == 6  # poisoned row not fitted
+    pdf = out.toPandas().sort_values("ts").reset_index(drop=True)
+    assert pdf.loc[6, "feature_vec"] is None or pd.isna(
+        pdf.loc[6, "feature_vec"])
+    clean = pdf.loc[:5, "feature_vec"]
+    assert clean.notna().all()
+    assert not any(np.isnan(np.asarray(v)).any() for v in clean)
+
+
+def test_windowed_projection_broadcast_reused_across_calls(spark, windowed_df):
+    """project_windowed on the same fitted object reuses ONE broadcast per
+    (application, lag): the resumable runner projects once per unit, and
+    re-broadcasting a ~100 MB model map 256 times would pile never-destroyed
+    broadcast blocks onto the block manager."""
+    _, fitted = run_windowed_features(windowed_df, "vec", "ts", "1 hour")
+    assert len(fitted._bc_cache) == 1  # run_windowed_features projected once
+    a = project_windowed(windowed_df, fitted, "vec", "ts")
+    b = project_windowed(windowed_df, fitted, "vec", "ts")
+    assert len(fitted._bc_cache) == 1  # same broadcast object, not three
+    lagged = project_windowed(windowed_df, fitted, "vec", "ts", lag_models=1)
+    assert len(fitted._bc_cache) == 2  # distinct lag -> distinct lut
+    # and the reuse changes nothing about the output
+    x = a.toPandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    y = b.toPandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    np.testing.assert_array_equal(np.stack(x["feature_vec"].to_numpy()),
+                                  np.stack(y["feature_vec"].to_numpy()))
