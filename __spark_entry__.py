@@ -793,8 +793,12 @@ def q43_ngram_jaccard(spark, sf):
     # BOTH strategies (post-execution probe); reagg's gap is the sizes
     # branch re-running the full scan+shingle pass (16 vs 12 partition
     # evals on the pruning-included probe source = 4 vs 3 full passes).
+    # max_df=None opts out of the production default's absolute stop-gram
+    # cap (q41's max_bucket pattern): the oracle CTE mirrors ONLY the
+    # fractional pruning, and above 20k docs the default 2000 cap would
+    # bind below 10%*n and silently desync the two sides.
     out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
-                              max_df_frac=Q43_MAX_DF_FRAC,
+                              max_df=None, max_df_frac=Q43_MAX_DF_FRAC,
                               size_strategy="window")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 

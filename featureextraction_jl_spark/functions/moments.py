@@ -115,8 +115,8 @@ def _batch_to_matrix(col) -> "np.ndarray | None":
     in-sandbox).  None when no valid rows remain.
 
     Null semantics (shared with compute_moments_expr and the scalar-column
-    path): rows that are NULL or contain a null element are DROPPED before
-    accumulation.  Element nulls are invisible to the list-level
+    path): rows that are NULL or contain a null OR NaN element are DROPPED
+    before accumulation.  Element nulls are invisible to the list-level
     ``null_count`` and np.asarray would render them as NaN, silently
     poisoning every downstream moment — they must be masked via the child
     validity.  Ragged batches raise: the old ``flat.size % n == 0``
@@ -149,7 +149,14 @@ def _batch_to_matrix(col) -> "np.ndarray | None":
             "— moments require fixed-dimension vectors (filter or pad "
             "upstream; compute_moments_expr with explicit p drops "
             "wrong-length rows instead)")
-    return np.asarray(flat, dtype=np.float64).reshape(len(col), int(lens[0]))
+    m = np.asarray(flat, dtype=np.float64).reshape(len(col), int(lens[0]))
+    # genuine NaN VALUES (Arrow-valid, not null) poison moments exactly like
+    # masked nulls would — drop those rows too, so every moments path
+    # (Arrow, expr, grouped/salted/streaming pandas kernels, where NaN and
+    # null are indistinguishable anyway) shares ONE contract: rows with a
+    # null OR NaN element never contribute.
+    m = m[~np.isnan(m).any(axis=1)]
+    return m if len(m) else None
 
 
 def _emit_partial(m: "Moments | None"):
@@ -339,7 +346,7 @@ def compute_moments_expr(df: DataFrame, vec_col, p: int | None = None) -> Moment
         src = df.select(*[c.alias(f"_x{i}") for i, c in enumerate(cols)])
         cond = None
         for i in range(len(cols)):
-            c = F.col(f"_x{i}").isNotNull()
+            c = F.col(f"_x{i}").isNotNull() & ~F.isnan(f"_x{i}")
             cond = c if cond is None else (cond & c)
         src = src.filter(cond)
         xs = [F.col(f"_x{i}") for i in range(len(cols))]
@@ -353,7 +360,7 @@ def compute_moments_expr(df: DataFrame, vec_col, p: int | None = None) -> Moment
         src = df.select(F.col(vec_col).alias("_v")).filter(
             F.col("_v").isNotNull()
             & (F.size("_v") == F.lit(p))
-            & ~F.exists("_v", lambda x: x.isNull()))
+            & ~F.exists("_v", lambda x: x.isNull() | F.isnan(x)))
         xs = [F.col("_v")[i] for i in range(p)]
 
     p = len(xs)
@@ -402,12 +409,12 @@ def pandas_clean_stack(vals: "pd.Series") -> "np.ndarray | None":
     Without the element mask, a single ``[1.0, null, ...]`` vector arrives
     as NaN and silently poisons its group's mean/M2 (NaN covariance ->
     eigh LinAlgError or a NaN model in the windowed-PCA fit) — the exact
-    hazard _batch_to_matrix documents and masks on the global path.  One
-    caveat pandas forces: Arrow distinguishes a null element from a real
-    NaN value, but the pandas conversion renders both as NaN, so genuine
-    NaN data values are dropped here too (the Arrow path keeps them).
-    Both group kernels (grouped + salted partial) share this helper, so
-    their pinned equivalence is preserved by construction.
+    hazard _batch_to_matrix documents and masks on the global path.
+    Genuine NaN VALUES are dropped under the same rule: every moments path
+    (Arrow, expr, pandas kernels) shares the contract "rows with a null or
+    NaN element never contribute", so the pinned cross-path equivalences
+    hold on NaN-bearing data too.  Both group kernels (grouped + salted
+    partial) share this helper, so their equivalence is by construction.
     """
     vals = vals.dropna()
     if len(vals) == 0:

@@ -195,7 +195,10 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, on: str,
     for c in right_cols:
         fields.append(f"{c} {rtypes[c]}")
     schema = ", ".join(fields)
-    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds else None
+    # `is not None`, not falsy: tolerance_seconds=0.0 means exact-ts-only
+    # matches (the production path's semantics at asof_join), not unbounded
+    tol = (pd.Timedelta(seconds=tolerance_seconds)
+           if tolerance_seconds is not None else None)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0:
@@ -232,8 +235,8 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, on: str,
                 drop = [c for c in (f"{right_ts}__r", right_ts)
                         if c in merged.columns and c not in lpdf.columns]
                 parts.append(merged.drop(columns=drop))
-        if not parts:
-            return pd.DataFrame(columns=list(lpdf.columns) + right_cols)
+        # parts is never empty here: the len(lpdf)==0 early return above
+        # guarantees at least one of null_left / filtered lpdf is non-empty
         return parts[0] if len(parts) == 1 else pd.concat(parts,
                                                           ignore_index=True)
 

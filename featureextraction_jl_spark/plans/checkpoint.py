@@ -65,6 +65,25 @@ class SimulatedCrash(RuntimeError):
 # Fingerprints and atomic manifest IO
 # ---------------------------------------------------------------------------
 
+def iceberg_fingerprint(spark: SparkSession, *tables: str) -> str:
+    """Snapshot-id fingerprint for Iceberg inputs (the remote-input twin of
+    :func:`input_fingerprint` — an Iceberg table name is not a local dir, so
+    a file listing is impossible AND unnecessary: the current snapshot id
+    already answers "same immutable input bytes?").  Container-gated like
+    every Iceberg branch (needs the runtime JAR + catalog)."""
+    h = hashlib.sha256()
+    for t in tables:
+        if t is None:
+            h.update(b"<none>")
+            continue
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {t}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+        sid = str(rows[0][0]) if rows else "<empty>"
+        h.update(f"{t}:{sid}".encode())
+    return h.hexdigest()[:16]
+
+
 def input_fingerprint(*paths: str) -> str:
     """sha256 over the (path, size, mtime_ns) listing of the input files.
 
@@ -161,7 +180,12 @@ def run_features_resumable(
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
 
-    fp = input_fingerprint(transcripts_path, snapshots_path)
+    # Iceberg inputs are catalog names, not local dirs: fingerprint them by
+    # snapshot id (a file listing would raise FileNotFoundError before the
+    # Iceberg reader branch could ever run).
+    fp = (iceberg_fingerprint(spark, transcripts_path, snapshots_path)
+          if fmt == "iceberg"
+          else input_fingerprint(transcripts_path, snapshots_path))
     chash = config_hash(cfg, n_units)
 
     def valid(man: dict[str, Any] | None) -> bool:

@@ -268,8 +268,24 @@ def fit_windowed_pca(df: DataFrame, vec_col: str, ts_col: str, duration: str,
             f"grouping at full cardinality; widen the window, drop key_cols, "
             f"or raise max_models explicitly")
     models, skipped, counts = {}, {}, {}
+    seen = set()
     for r in rows:
         gk = tuple(r[c] for c in key_cols) + (_win_dt(r[_WIN]),)
+        if gk in seen:
+            # Two JVM-side groups collapsed to one key: Spark's groupBy
+            # distinguishes NULL from float NaN, but the pandas->Arrow
+            # emission of the group kernels renders a NaN key as NULL — a
+            # corpus with BOTH in one window would silently overwrite one
+            # group's model with the other's.  (NaN-only float keys are
+            # fine: they collapse to the NULL group consistently on the fit
+            # AND projection sides.)  Fail loudly.
+            raise ValueError(
+                f"fit_windowed_pca: duplicate group key {gk!r} after key "
+                f"normalization — typically a float key column containing "
+                f"BOTH NULL and NaN in one window (indistinguishable in "
+                f"the Arrow/pandas kernels); filter or recode such keys "
+                f"upstream")
+        seen.add(gk)
         mean = np.asarray(r["mean"], dtype=np.float64)
         p = mean.shape[0]
         m = Moments(int(r["n"]), mean,

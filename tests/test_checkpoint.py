@@ -237,3 +237,16 @@ def test_resumable_asserts_input_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="transcripts column ts"):
         run_features_resumable(spark, bad, str(tmp_path / "o"), None, CFG,
                                n_units=2)
+
+
+def test_iceberg_inputs_take_snapshot_fingerprint_branch(spark, tmp_path):
+    """fmt='iceberg' must reach the snapshot-id fingerprint, not die in the
+    file-listing fingerprint (a catalog table name is not a local dir).  No
+    Iceberg runtime exists in this container, so the branch surfaces the
+    catalog error — the point is it is NOT the FileNotFoundError the dead
+    path raised."""
+    with pytest.raises(Exception) as ei:
+        run_features_resumable(spark, "nosuch.db.transcripts",
+                               str(tmp_path / "o"), None, CFG, n_units=2,
+                               fmt="iceberg")
+    assert not isinstance(ei.value, FileNotFoundError)

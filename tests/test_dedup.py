@@ -48,7 +48,8 @@ def test_jaccard_pruning_noop_when_not_binding(spark, sf01_dir):
     top_df = grams.groupBy("g").count().agg(F.max("count")).collect()[0][0]
     assert top_df <= max_df, "corpus changed: q43's max_df choice now binds"
 
-    base = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5).collect()
+    base = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
+                               max_df=None).collect()  # truly unpruned
     pruned = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
                                  max_df=max_df).collect()
     key = lambda rows: {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)

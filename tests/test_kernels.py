@@ -523,3 +523,33 @@ def test_zscore_null_inputs_stay_null_in_zero_sigma_branch(spark):
     assert za.isna().sum() == 1 and (za.dropna() == 0.0).all()
     zb = out2.loc[out2.g == "b", "c"]
     assert zb.isna().sum() == 1 and not (zb.dropna() == 0.0).any()
+
+
+def test_moment_paths_share_nan_row_contract(spark):
+    """ONE contract across every moments path: rows with a null OR NaN
+    element never contribute.  Genuine NaN values are Arrow-VALID (not
+    null), so without the explicit mask the global Arrow path would fold
+    them in while the pandas kernels (where NaN and null are
+    indistinguishable) dropped them — silently un-pinning the cross-path
+    equivalences on NaN-bearing data."""
+    from featureextraction_jl_spark.functions.moments import (
+        compute_moments_expr,
+    )
+    from featureextraction_jl_spark.plans.salting import salted_grouped_moments
+
+    rows = [("a", [1.0, 2.0]), ("a", [3.0, 6.0]),
+            ("a", [float("nan"), 1.0]), ("a", [2.0, None])]
+    df = spark.createDataFrame(rows, "g string, vec array<double>")
+    g = compute_moments(df, "vec")
+    e = compute_moments_expr(df, "vec", p=2)
+    assert g.n == e.n == 2
+    np.testing.assert_allclose(g.mean, [2.0, 4.0])
+    np.testing.assert_allclose(e.mean, [2.0, 4.0])
+    grp = {r["g"]: r for r in
+           compute_grouped_moments(df, ["g"], "vec").collect()}
+    sal = {r["g"]: r for r in
+           salted_grouped_moments(df, "g", "vec",
+                                  sample_fraction=None).collect()}
+    assert grp["a"]["n"] == sal["a"]["n"] == 2
+    np.testing.assert_allclose(grp["a"]["mean"], [2.0, 4.0])
+    np.testing.assert_allclose(sal["a"]["mean"], [2.0, 4.0])

@@ -481,3 +481,26 @@ def test_asof_pandas_tolerates_null_timestamps(spark):
         out = out.sort_values("turn_idx").reset_index(drop=True)
         assert out.loc[0, "snap_score"] == 10.0   # matched, never the NaT row
         assert pd.isna(out.loc[1, "snap_score"])  # null left ts -> unmatched
+
+
+def test_asof_pandas_zero_tolerance_matches_production(spark):
+    """tolerance_seconds=0.0 means exact-ts matches only — the pandas twin
+    must not swallow the 0.0 into an unbounded match (falsy-zero bug)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame(
+        [("a", 0, t0), ("a", 1, t0 + dt.timedelta(minutes=1))],
+        "conv_id string, turn_idx int, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", t0, 5.0)],
+        "conv_id string, snapshot_ts timestamp, snap_score double")
+    a = asof_join(left, right, on="conv_id", left_ts="ts",
+                  right_ts="snapshot_ts", tolerance_seconds=0.0).toPandas()
+    b = asof_join_pandas(left, right, on="conv_id", left_ts="ts",
+                         right_ts="snapshot_ts",
+                         tolerance_seconds=0.0).toPandas()
+    for out in (a, b):
+        out = out.sort_values("turn_idx").reset_index(drop=True)
+        assert out.loc[0, "snap_score"] == 5.0    # exact ts: matched
+        assert pd.isna(out.loc[1, "snap_score"])  # 1 min later: unmatched

@@ -398,3 +398,29 @@ def test_windowed_projection_broadcast_reused_across_calls(spark, windowed_df):
     y = b.toPandas().sort_values(["conv_id", "ts"]).reset_index(drop=True)
     np.testing.assert_array_equal(np.stack(x["feature_vec"].to_numpy()),
                                   np.stack(y["feature_vec"].to_numpy()))
+
+
+def test_windowed_nan_float_key_semantics(spark):
+    """Float-key edge cases: NaN keys collapse to the NULL group
+    CONSISTENTLY on the fit and projection sides (the pandas->Arrow group
+    emission renders NaN keys as NULL, and the projection's NaN->None
+    normalization matches), so NaN-only corpora work; a window holding
+    BOTH a NULL and a NaN key group would silently overwrite one model
+    with the other — that collision raises instead."""
+    # NaN-only float key: collapses to the None group, rows still project
+    rows = [(float("nan"), T0 + dt.timedelta(minutes=m), [float(m), 2.0 - m])
+            for m in range(4)]
+    df = spark.createDataFrame(
+        rows, "grp double, ts timestamp, vec array<double>")
+    out, fitted = run_windowed_features(df, "vec", "ts", "1 hour",
+                                        key_cols=("grp",))
+    assert list(fitted.models) == [(None, T0)]
+    assert out.toPandas()["feature_vec"].notna().all()
+
+    # NULL + NaN key groups in ONE window: dict collision -> loud error
+    rows += [(None, T0 + dt.timedelta(minutes=m), [float(m), 1.0 + m])
+             for m in range(4)]
+    df2 = spark.createDataFrame(
+        rows, "grp double, ts timestamp, vec array<double>")
+    with pytest.raises(ValueError, match="duplicate group key"):
+        fit_windowed_pca(df2, "vec", "ts", "1 hour", key_cols=("grp",))
