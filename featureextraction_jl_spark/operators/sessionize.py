@@ -3,7 +3,7 @@
 A new session starts when the gap to the previous turn exceeds
 ``gap_seconds``.  Pure Window chain: lag -> boolean -> running sum — shares
 the entity partitioner with the lag/backfill chain (no extra shuffle).
-The streaming twin is ``F.session_window`` (streaming/jobs.py).
+The streaming twin is ``F.session_window`` (streaming/ingest.py).
 """
 
 from __future__ import annotations
