@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from featureextraction_jl_spark.functions.moments import compute_moments
 from featureextraction_jl_spark.functions.pca import fit_pca, inverse_udf, project_udf
+from featureextraction_jl_spark.functions.text import (
+    langid_cols,
+    quality_cols,
+    token_count_cols,
+)
 from featureextraction_jl_spark.functions.timeutil import epoch_seconds
 from featureextraction_jl_spark.operators.asof import asof_join
 from featureextraction_jl_spark.operators.backfill import forward_fill
@@ -686,46 +691,27 @@ def q37_exact_dedup(spark, sf):
 
 
 def q38_token_count(spark, sf):
-    """Token counting: whitespace tokens + BPE-ish word/number pieces."""
+    """Token counting: whitespace tokens + BPE-ish word/number pieces.
+
+    Expressions live in functions/text.py (shared with the curation
+    pipeline) — this query pins the library builder to the DuckDB oracle.
+    """
     d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+"), 0))
-        .alias("n_word_tokens"),
-    )
+    return d.select("doc_id", *token_count_cols("text"))
 
 
 def q39_quality_score(spark, sf):
-    """Quality scoring: length / punctuation / digit / stopword signals."""
+    """Quality scoring: length / punctuation / digit / stopword signals
+    (functions/text.py builder, oracle-pinned here)."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    stop = F.size(F.filter(
-        toks, lambda w: (w == "the") | (w == "and") | (w == "of") | (w == "a")))
-    return d.select(
-        "doc_id",
-        F.length("text").alias("len"),
-        (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", "")))
-        .alias("n_punct"),
-        (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", "")))
-        .alias("n_digits"),
-        stop.alias("n_stopwords"),
-        F.size(toks).alias("n_tokens"),
-    )
+    return d.select("doc_id", *quality_cols("text"))
 
 
 def q40_langid(spark, sf):
-    """Language-ID heuristic: stopword votes per language, argmax label."""
+    """Language-ID heuristic: stopword votes per language, argmax label
+    (functions/text.py builder, oracle-pinned here)."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    en = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "is", "to")))
-    fr = F.size(F.filter(toks, lambda w: w.isin("le", "la", "et", "de", "un")))
-    de = F.size(F.filter(toks, lambda w: w.isin("der", "die", "und", "das", "ist")))
-    best = F.when((en >= fr) & (en >= de) & (en > 0), "en") \
-        .when((fr >= de) & (fr > 0), "fr") \
-        .when(de > 0, "de").otherwise("unknown")
-    return d.select("doc_id", en.alias("votes_en"), fr.alias("votes_fr"),
-                    de.alias("votes_de"), best.alias("lang_pred"))
+    return d.select("doc_id", *langid_cols("text"))
 
 
 #: q41/q48/q49 MinHash-LSH parameters, shared between the Spark calls and

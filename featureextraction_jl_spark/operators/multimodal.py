@@ -35,6 +35,15 @@ _TYPES = ["image", "audio", "video"]
 META_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
                "magic_hex string, content_md5 string")
 FEATURE_SCHEMA = "doc_id long, media_type string, feature_vec array<double>"
+RESIZE_SCHEMA = "doc_id long, media_type string, resized array<double>"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_vec array<double>"
+
+#: the fake decoder's native grid: image = IMAGE_SIDE x IMAGE_SIDE pixels,
+#: video = VIDEO_FRAMES frames of FRAME_LEN samples (sizes match
+#: decode_payload's per-type sample counts: 64 = 8*8, 128 = 16*8)
+IMAGE_SIDE = 8
+VIDEO_FRAMES = 16
+FRAME_LEN = 8
 
 
 def attach_media(df: DataFrame, id_col: str = "doc_id",
@@ -136,3 +145,87 @@ def media_feature_vectors(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(id_col, "media_type", payload_col) \
         .mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def resize_media(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload", out_side: int = 4,
+                 fake: bool = True) -> DataFrame:
+    """Image resize (area-average downsample) over binary payloads (task spec).
+
+    Decodes each IMAGE payload to its native ``IMAGE_SIDE x IMAGE_SIDE``
+    pixel grid and block-averages it down to ``out_side x out_side``
+    (emitted flattened, row-major) — the deterministic stand-in for a real
+    PIL/OpenCV resize, with the Spark side (Arrow-batched ``mapInPandas``,
+    stable schema, null propagation) fully real.  Non-image rows and NULL
+    payloads resize to NULL (SQL null propagation; audio/video have no
+    pixel grid).  ``out_side`` must divide ``IMAGE_SIDE`` so the block
+    average is exact and oracle-reproducible.
+    """
+    if out_side <= 0 or IMAGE_SIDE % out_side != 0:
+        raise ValueError(
+            f"out_side must be a positive divisor of {IMAGE_SIDE}, "
+            f"got {out_side}")
+    factor = IMAGE_SIDE // out_side
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload, mtype in zip(pdf[payload_col], pdf["media_type"]):
+                if payload is None or mtype != "image":
+                    out.append(None)
+                    continue
+                px = decode_payload(payload, mtype, fake=fake) \
+                    .reshape(IMAGE_SIDE, IMAGE_SIDE)
+                small = px.reshape(out_side, factor, out_side, factor) \
+                    .mean(axis=(1, 3))
+                out.append([float(v) for v in small.ravel()])
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "media_type": pdf["media_type"],
+                "resized": out,
+            })
+
+    return df.select(id_col, "media_type", payload_col) \
+        .mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id",
+                  payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Uniform frame sampling from VIDEO payloads (task spec), exploded rows.
+
+    Decodes each video payload to its ``VIDEO_FRAMES x FRAME_LEN`` frame
+    grid and emits one row per sampled frame ``(doc_id, frame_idx,
+    frame_vec)``, frames picked at evenly spaced indices over the clip
+    (``linspace(0, VIDEO_FRAMES-1, n_frames)`` rounded — the ffmpeg
+    "uniform keyframe thumbnail" pattern).  Non-video rows are filtered
+    OUT IN THE PLAN (a JVM-side predicate below the UDF, so image/audio
+    payloads never cross the Arrow boundary); NULL payloads explode to
+    zero rows, matching ``explode(NULL)`` semantics.
+    """
+    if not 1 <= n_frames <= VIDEO_FRAMES:
+        raise ValueError(
+            f"n_frames must be in [1, {VIDEO_FRAMES}], got {n_frames}")
+    # unique sorted indices: linspace rounding can collide for n close to
+    # VIDEO_FRAMES only when n > frames, which the guard above excludes
+    idx = np.unique(np.linspace(0, VIDEO_FRAMES - 1, n_frames)
+                    .round().astype(int))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, vecs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                frames = decode_payload(payload, "video", fake=fake) \
+                    .reshape(VIDEO_FRAMES, FRAME_LEN)
+                for i in idx:
+                    ids.append(int(doc_id))
+                    fidx.append(int(i))
+                    vecs.append([float(v) for v in frames[i]])
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(fidx, dtype="int32"),
+                                "frame_vec": pd.Series(vecs, dtype="object")})
+
+    return df.filter(F.col("media_type") == "video") \
+        .select(id_col, payload_col) \
+        .mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -6,11 +6,16 @@ import numpy as np
 import pytest
 
 from featureextraction_jl_spark.operators.multimodal import (
+    FRAME_LEN,
+    IMAGE_SIDE,
     MAGICS,
+    VIDEO_FRAMES,
     attach_media,
     decode_payload,
     extract_media_meta,
     media_feature_vectors,
+    resize_media,
+    sample_frames,
 )
 
 
@@ -85,6 +90,89 @@ def test_feature_vectors_exact_numpy_twin(media):
         assert got[doc_id][0] == mtype
         np.testing.assert_array_equal(np.asarray(got[doc_id][1]),
                                       np.asarray(want), err_msg=str(doc_id))
+
+
+def test_resize_numpy_twin(media):
+    """resize == independent NumPy block-average of the decoded pixel grid;
+    non-image rows resize to NULL (no pixel grid)."""
+    small = media.limit(40)
+    got = {r.doc_id: r.resized for r in resize_media(small, out_side=4).collect()}
+    src = {r.doc_id: (r.media_type,
+                      bytes(r.payload) if r.payload is not None else None)
+           for r in small.select("doc_id", "media_type", "payload").collect()}
+    assert set(got) == set(src) and len(got) == 40
+    n_img = 0
+    for doc_id, (mtype, payload) in src.items():
+        if mtype != "image" or payload is None:
+            assert got[doc_id] is None
+            continue
+        n_img += 1
+        px = decode_payload(payload, "image", fake=True) \
+            .reshape(IMAGE_SIDE, IMAGE_SIDE)
+        want = px.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+        np.testing.assert_array_equal(np.asarray(got[doc_id]), want,
+                                      err_msg=str(doc_id))
+    assert n_img > 0  # the cycled media_type must have produced images
+
+
+def test_resize_validates_out_side(media):
+    for bad in (0, 3, 16, -4):
+        with pytest.raises(ValueError):
+            resize_media(media, out_side=bad)
+
+
+def test_resize_null_payload_propagates(spark):
+    df = spark.createDataFrame(
+        [(1, "image", None), (2, "image", MAGICS["image"] + b"data")],
+        "doc_id long, media_type string, payload binary")
+    rows = {r.doc_id: r.resized for r in resize_media(df).collect()}
+    assert rows[1] is None and len(rows[2]) == 16
+
+
+def test_sample_frames_numpy_twin(media):
+    """Each sampled frame row == the decoded frame grid's row at the
+    uniformly spaced index; exactly n_frames rows per video doc; image and
+    audio docs contribute ZERO rows (filtered in the plan, not in Python)."""
+    small = media.limit(60)
+    out = sample_frames(small, n_frames=4).collect()
+    src = {r.doc_id: (r.media_type,
+                      bytes(r.payload) if r.payload is not None else None)
+           for r in small.select("doc_id", "media_type", "payload").collect()}
+    vids = {d for d, (m, p) in src.items() if m == "video" and p is not None}
+    assert vids, "the cycled media_type must have produced videos"
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r.frame_vec
+    assert set(by_doc) == vids
+    want_idx = np.unique(np.linspace(0, VIDEO_FRAMES - 1, 4).round().astype(int))
+    for doc_id in vids:
+        assert sorted(by_doc[doc_id]) == list(want_idx)
+        frames = decode_payload(src[doc_id][1], "video", fake=True) \
+            .reshape(VIDEO_FRAMES, FRAME_LEN)
+        for i in want_idx:
+            np.testing.assert_array_equal(
+                np.asarray(by_doc[doc_id][i]), frames[i], err_msg=str(doc_id))
+
+
+def test_sample_frames_filter_is_in_plan(media):
+    """The media_type predicate must sit BELOW the Arrow boundary: non-video
+    payloads never cross into Python."""
+    plan = sample_frames(media)._jdf.queryExecution().optimizedPlan().toString()
+    assert "video" in plan and "Filter" in plan
+
+
+def test_sample_frames_null_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "video", None), (2, "video", MAGICS["video"] + b"clip")],
+        "doc_id long, media_type string, payload binary")
+    rows = sample_frames(df, n_frames=VIDEO_FRAMES).collect()
+    # null payload -> zero rows (explode(NULL) semantics); full sampling
+    # yields every frame exactly once for the non-null doc
+    assert {r.doc_id for r in rows} == {2}
+    assert sorted(r.frame_idx for r in rows) == list(range(VIDEO_FRAMES))
+    for bad in (0, VIDEO_FRAMES + 1):
+        with pytest.raises(ValueError):
+            sample_frames(df, n_frames=bad)
 
 
 def test_feature_vectors_null_payload_propagates(spark):
