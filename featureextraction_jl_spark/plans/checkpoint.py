@@ -95,6 +95,14 @@ def input_fingerprint(*paths: str) -> str:
         if root is None:
             h.update(b"<none>")
             continue
+        if os.path.isfile(root):
+            # single-file parquet input (e.g. the driver's
+            # documents.parquet): same (name, size, mtime) identity as the
+            # directory listing below
+            st = os.stat(root)
+            h.update(f"{os.path.basename(root)}|{st.st_size}|"
+                     f"{st.st_mtime_ns}\n".encode())
+            continue
         if not os.path.isdir(root):
             # os.walk on a missing/remote path yields NOTHING, which would
             # silently fingerprint every such input identically — and on
