@@ -487,8 +487,32 @@ def connected_components(pairs: DataFrame, ids: DataFrame,
             labels.join(lmap, labels["label"] == lmap["__lu"], "left")
                   .select(F.col("u"),
                           F.coalesce("__ll", "label").alias("label")))
-        cur = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+        # try_cast, not cast: under ANSI (Spark 4 default) a plain cast of
+        # a non-numeric label THROWS mid-probe; try_cast yields NULL so we
+        # can diagnose it as `bad` and raise our own actionable error
+        lnum = F.col("label").try_cast("decimal(38,0)")
+        probe = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("label").isNotNull() & lnum.isNull(),
+                           1)).alias("bad"),
+            F.sum(lnum).alias("s")
+        ).collect()[0]
+        if probe["n"] == 0:
+            # 0-row id set (empty corpus upstream): trivially converged —
+            # without this, the NULL sum never equals itself and the loop
+            # exhausts max_iter with a misleading non-convergence error
+            converged = True
+            break
+        if probe["bad"] > 0:
+            # sum-based convergence relies on every label being numeric-
+            # castable (min-label propagation is monotone, so sum equality
+            # <=> fixed point); NULL-cast labels silently drop out of the
+            # sum and could fake convergence — refuse loudly instead
+            raise TypeError(
+                f"connected_components: {probe['bad']} label value(s) do "
+                f"not cast to decimal — the convergence probe requires "
+                f"numeric {id_col} values (e.g. bigint doc ids)")
+        cur = probe["s"]
         if prev_sum is not None and cur == prev_sum:
             converged = True
             break

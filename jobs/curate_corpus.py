@@ -18,7 +18,12 @@ stage materializes parquet + an atomic manifest; a killed run resumes at
 the first stage whose manifest is missing or invalid.  Manifests chain:
 stage i's manifest records the manifest hash of stage i-1, so a
 recomputed upstream stage (changed input bytes or config) invalidates
-everything downstream — no silent mixing of corpus versions.
+everything downstream — no silent mixing of corpus versions.  Config
+hashes are PER STAGE (each stage hashes only the knobs its body reads),
+so tuning a final-stage filter re-runs only the cheap final stage and
+never re-pays the expensive LSH+CC stage; upstream knob changes still
+invalidate downstream via the manifest chain, because the config hash
+is part of the manifest the next stage chains on.
 
 Scale notes (100 TB): the stage boundaries are exactly the pipeline's
 shuffle barriers, so materializing them costs no extra exchange — stats
@@ -87,8 +92,26 @@ class CurateConfig:
     keep_langs: tuple[str, ...] = ()  # () = keep every language
 
 
-def _config_hash(cfg: CurateConfig) -> str:
-    payload = json.dumps(asdict(cfg), sort_keys=True, default=list)
+# Knobs each stage body actually reads — the stage's manifest hashes only
+# these, so changing a final-only filter knob cannot invalidate the
+# expensive neardup stage.  Downstream invalidation on upstream knob
+# changes still holds: the config hash is inside the manifest whose hash
+# the next stage chains on.
+_STAGE_CFG_FIELDS = {
+    "stats": ("id_col", "text_col"),
+    "exact": ("id_col", "text_col"),
+    "neardup": ("id_col", "text_col",
+                "num_hashes", "bands", "shingle_k", "max_bucket"),
+    "final": ("id_col", "text_col",
+              "min_word_tokens", "max_digit_frac", "keep_langs"),
+}
+
+
+def _config_hash(cfg: CurateConfig, stage: str | None = None) -> str:
+    d = asdict(cfg)
+    if stage is not None:
+        d = {k: d[k] for k in _STAGE_CFG_FIELDS[stage]}
+    payload = json.dumps(d, sort_keys=True, default=list)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -162,13 +185,13 @@ def curate_corpus(
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     fp = input_fingerprint(documents_path)
-    chash = _config_hash(cfg)
 
     upstream_hash = "<source>"
     stages_done, stages_skipped = [], []
     for i, stage in enumerate(STAGES):
         spath = os.path.join(mdir, f"stage_{stage}.json")
         data_dir = os.path.join(out_dir, f"stage={stage}")
+        chash = _config_hash(cfg, stage)
         man = _read_json(spath)
         if (man and man.get("input_fingerprint") == fp
                 and man.get("config_hash") == chash
@@ -193,6 +216,12 @@ def curate_corpus(
         out = _STAGE_FNS[stage](source, cfg)
         obs = Observation(f"curate_{stage}")
         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # Invalidate BEFORE overwriting the data: a kill between the data
+        # write and the new manifest write must leave the stage manifest
+        # MISSING, not the old run's still-chain-valid manifest pointing at
+        # new-input rows (read_curated walks manifests only).
+        if os.path.exists(spath):
+            os.remove(spath)
         out.write.mode("overwrite").parquet(data_dir)
         man = {
             "stage": stage,
@@ -215,7 +244,7 @@ def curate_corpus(
         stage_mans[stage] = man
     job = {
         "input_fingerprint": fp,
-        "config_hash": chash,
+        "config_hash": _config_hash(cfg),
         "stages_computed_this_run": stages_done,
         "stages_resumed": stages_skipped,
         "rows_out_per_stage": {s: m["rows_out"] for s, m in stage_mans.items()},
@@ -251,6 +280,12 @@ def read_curated(spark: SparkSession, out_dir: str,
     return spark.read.parquet(os.path.join(out_dir, f"stage={stage}"))
 
 
+def _parse_keep_langs(raw: str) -> tuple[str, ...]:
+    """'en, fr' -> ('en', 'fr'): strip whitespace so the natural comma-space
+    CLI style cannot silently produce an unmatchable ' fr' token."""
+    return tuple(s.strip() for s in raw.split(",") if s.strip())
+
+
 def main(argv: list[str] | None = None) -> None:
     import argparse
 
@@ -270,7 +305,7 @@ def main(argv: list[str] | None = None) -> None:
     cfg = CurateConfig(
         min_word_tokens=args.min_word_tokens,
         max_digit_frac=args.max_digit_frac,
-        keep_langs=tuple(s for s in args.keep_langs.split(",") if s))
+        keep_langs=_parse_keep_langs(args.keep_langs))
     spark = get_spark("curate_corpus")
     job = curate_corpus(spark, args.documents, args.out, cfg)
     print(json.dumps(job, sort_keys=True))

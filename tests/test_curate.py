@@ -16,20 +16,11 @@ import pytest
 
 from jobs.curate_corpus import (
     STAGES,
+    _STAGE_FNS,
     CurateConfig,
     SimulatedCrash,
     curate_corpus,
     read_curated,
-)
-from featureextraction_jl_spark.operators.dedup import (
-    exact_dedup,
-    minhash_lsh_pairs,
-    near_dedup_survivors,
-)
-from featureextraction_jl_spark.functions.text import (
-    langid_cols,
-    quality_cols,
-    token_count_cols,
 )
 
 CFG = CurateConfig(min_word_tokens=3, max_digit_frac=0.5, keep_langs=())
@@ -40,25 +31,13 @@ def _docs_path(sf_dir):
 
 
 def _direct(spark, sf_dir, cfg: CurateConfig):
-    """The pipeline composed in memory — no staging, same operators."""
-    from pyspark.sql import functions as F
-
-    docs = spark.read.parquet(_docs_path(sf_dir))
-    stats = docs.select(cfg.id_col, cfg.text_col,
-                        *token_count_cols(cfg.text_col),
-                        *quality_cols(cfg.text_col),
-                        *langid_cols(cfg.text_col))
-    exact = exact_dedup(stats, cfg.text_col, cfg.id_col)
-    pairs = minhash_lsh_pairs(exact, cfg.text_col, cfg.id_col,
-                              num_hashes=cfg.num_hashes, bands=cfg.bands,
-                              k=cfg.shingle_k, max_bucket=cfg.max_bucket)
-    nd = near_dedup_survivors(exact, pairs, cfg.id_col)
-    out = nd.filter(F.col("n_word_tokens") >= cfg.min_word_tokens)
-    out = out.filter((F.col("n_digits") / F.greatest(F.col("len"), F.lit(1)))
-                     <= cfg.max_digit_frac)
-    if cfg.keep_langs:
-        out = out.filter(F.col("lang_pred").isin(*cfg.keep_langs))
-    return out
+    """The pipeline composed in memory — the very stage bodies the staged
+    runner materializes, chained without parquet round-trips (the property
+    under test is staging/resume plumbing, not a re-implementation)."""
+    df = spark.read.parquet(_docs_path(sf_dir))
+    for stage in STAGES:
+        df = _STAGE_FNS[stage](df, cfg)
+    return df
 
 
 def _snapshot(df):
@@ -102,17 +81,84 @@ def test_noop_rerun_skips_everything(spark, sf_dir, tmp_path):
     assert second["rows_out_per_stage"] == first["rows_out_per_stage"]
 
 
-def test_config_change_invalidates_all_stages(spark, sf_dir, tmp_path):
+def test_final_knob_change_recomputes_only_final(spark, sf_dir, tmp_path):
+    # config hashes are per stage: tuning a final-stage filter must not
+    # re-pay the expensive LSH+CC stage (code-review r05 finding)
     out = str(tmp_path / "curated")
     curate_corpus(spark, _docs_path(sf_dir), out, CFG)
     stricter = CurateConfig(min_word_tokens=8, max_digit_frac=0.5,
                             keep_langs=())
     job = curate_corpus(spark, _docs_path(sf_dir), out, stricter)
-    assert job["stages_computed_this_run"] == list(STAGES)
+    assert job["stages_computed_this_run"] == ["final"]
+    assert job["stages_resumed"] == ["stats", "exact", "neardup"]
     assert job["rows_final"] <= job["rows_out_per_stage"]["neardup"]
     staged, _ = _snapshot(read_curated(spark, out))
     direct, _ = _snapshot(_direct(spark, sf_dir, stricter))
     assert staged == direct
+
+
+def test_neardup_knob_change_recomputes_downstream_only(spark, sf_dir,
+                                                        tmp_path):
+    # an upstream knob change invalidates that stage AND everything after
+    # it (manifest chain), but never the stages before it
+    out = str(tmp_path / "curated")
+    curate_corpus(spark, _docs_path(sf_dir), out, CFG)
+    wider = CurateConfig(bands=16, num_hashes=32)
+    job = curate_corpus(spark, _docs_path(sf_dir), out, wider)
+    assert job["stages_computed_this_run"] == ["neardup", "final"]
+    assert job["stages_resumed"] == ["stats", "exact"]
+    staged, _ = _snapshot(read_curated(spark, out))
+    direct, _ = _snapshot(_direct(spark, sf_dir, wider))
+    assert staged == direct
+
+
+def test_empty_documents_input_yields_empty_corpus(spark, tmp_path):
+    # a 0-row corpus must flow through every stage (including CC, whose
+    # convergence probe used to spin to max_iter on a NULL sum) and end
+    # as an empty-but-valid curated output
+    empty = str(tmp_path / "empty_docs")
+    spark.createDataFrame([], "doc_id bigint, text string") \
+        .write.parquet(empty)
+    out = str(tmp_path / "curated")
+    job = curate_corpus(spark, empty, out, CFG)
+    assert job["rows_out_per_stage"] == {s: 0 for s in STAGES}
+    assert read_curated(spark, out).count() == 0
+
+
+def test_crash_between_data_and_manifest_never_reads_stale(
+        spark, sf_dir, tmp_path, monkeypatch):
+    # the stage manifest is deleted BEFORE the data overwrite: a kill in
+    # the data-written/manifest-unwritten window must leave read_curated
+    # raising, not returning new-input rows under the old run's still-
+    # valid manifest chain (code-review r05 finding)
+    import jobs.curate_corpus as cc
+    out = str(tmp_path / "curated")
+    curate_corpus(spark, _docs_path(sf_dir), out, CFG)
+
+    other = str(tmp_path / "docs_v2")
+    spark.read.parquet(_docs_path(sf_dir)).limit(20).write.parquet(other)
+
+    real_write = cc._write_json_atomic
+
+    def crash_on_manifest(path, payload):
+        if os.path.basename(path) == "stage_stats.json":
+            raise SimulatedCrash("killed between data and manifest write")
+        return real_write(path, payload)
+
+    monkeypatch.setattr(cc, "_write_json_atomic", crash_on_manifest)
+    with pytest.raises(SimulatedCrash):
+        curate_corpus(spark, other, out, CFG)
+    monkeypatch.undo()
+    # stats data dir now holds v2 rows but its manifest is gone: every
+    # stage read must refuse rather than serve version-mixed provenance
+    for stage in STAGES:
+        with pytest.raises((FileNotFoundError, ValueError)):
+            read_curated(spark, out, stage=stage)
+    # and a clean re-run self-heals to the new input
+    job = curate_corpus(spark, other, out, CFG)
+    assert job["stages_computed_this_run"] == list(STAGES)
+    staged, _ = _snapshot(read_curated(spark, out))
+    assert len(staged) == job["rows_final"]
 
 
 def test_lang_filter_applies(spark, sf_dir, tmp_path):
@@ -135,3 +181,11 @@ def test_missing_required_column_raises(spark, sf_dir, tmp_path):
 def test_read_curated_rejects_unknown_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown stage"):
         read_curated(spark, str(tmp_path), stage="bogus")
+
+
+def test_keep_langs_cli_parsing_strips_whitespace():
+    from jobs.curate_corpus import _parse_keep_langs
+    assert _parse_keep_langs("en, fr") == ("en", "fr")
+    assert _parse_keep_langs(" en ,fr,  de ") == ("en", "fr", "de")
+    assert _parse_keep_langs("") == ()
+    assert _parse_keep_langs(" , ,") == ()

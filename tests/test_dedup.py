@@ -401,6 +401,31 @@ def test_connected_components_caches_edges_upstream_once(spark):
     assert acc_ids.value == 1, f"ids evaluated {acc_ids.value}x (expected 1: the eager labels checkpoint job)"
 
 
+def test_connected_components_empty_ids_returns_empty(spark):
+    """Code-review r05: a 0-row id set must converge trivially (empty
+    labels frame), not spin to max_iter on a NULL convergence sum and
+    raise a misleading non-convergence error."""
+    from featureextraction_jl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    ids = spark.createDataFrame([], "doc_id long")
+    out = connected_components(pairs, ids, "doc_id")
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+
+
+def test_connected_components_non_numeric_ids_raise_clearly(spark):
+    """The sum-based convergence probe is only sound for numeric-castable
+    labels; non-numeric string ids must fail loudly at round 1, not fake
+    convergence or exhaust max_iter."""
+    from featureextraction_jl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "doc_id string")
+    with pytest.raises(TypeError, match="numeric"):
+        connected_components(pairs, ids, "doc_id")
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """ADVICE r2: exiting via max_iter without a sum fixpoint must raise,
     not silently return under-merged labels."""
