@@ -45,6 +45,15 @@ IMAGE_SIDE = 8
 VIDEO_FRAMES = 16
 FRAME_LEN = 8
 
+#: fake-decoder sample counts per media type — DERIVED from the grid
+#: constants so resize_media's / sample_frames' reshape can never drift
+#: from what decode_payload emits
+_DECODE_SAMPLES = {
+    "image": IMAGE_SIDE * IMAGE_SIDE,
+    "audio": 256,
+    "video": VIDEO_FRAMES * FRAME_LEN,
+}
+
 
 def attach_media(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
@@ -109,7 +118,7 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False) -> np.nd
             "pass fake=True for the deterministic stub decoder")
     seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint64)
     rng = np.random.default_rng(seed)
-    n = {"image": 64, "audio": 256, "video": 128}.get(media_type, 64)
+    n = _DECODE_SAMPLES.get(media_type, IMAGE_SIDE * IMAGE_SIDE)
     return rng.random(n)
 
 
@@ -160,6 +169,12 @@ def resize_media(df: DataFrame, id_col: str = "doc_id",
     payloads resize to NULL (SQL null propagation; audio/video have no
     pixel grid).  ``out_side`` must divide ``IMAGE_SIDE`` so the block
     average is exact and oracle-reproducible.
+
+    Non-image payload BYTES are nulled in the plan (JVM-side ``when``
+    below the Arrow boundary): audio/video blobs are the heaviest columns
+    here and would otherwise be serialized into Python per batch only to
+    be discarded — same below-the-boundary pattern as ``sample_frames``,
+    but keeping the one-row-per-input NULL semantics a filter would lose.
     """
     if out_side <= 0 or IMAGE_SIDE % out_side != 0:
         raise ValueError(
@@ -185,7 +200,10 @@ def resize_media(df: DataFrame, id_col: str = "doc_id",
                 "resized": out,
             })
 
-    return df.select(id_col, "media_type", payload_col) \
+    return df.select(
+        id_col, "media_type",
+        F.when(F.col("media_type") == "image",
+               F.col(payload_col)).alias(payload_col)) \
         .mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 

@@ -154,6 +154,14 @@ def test_sample_frames_numpy_twin(media):
                 np.asarray(by_doc[doc_id][i]), frames[i], err_msg=str(doc_id))
 
 
+def test_resize_nulls_non_image_bytes_in_plan(media):
+    """Code-review r05: non-image payload BYTES must be nulled JVM-side
+    (CASE WHEN below the Arrow boundary), so the heaviest audio/video
+    blobs are never serialized into Python just to be discarded."""
+    plan = resize_media(media)._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" in plan and "image" in plan
+
+
 def test_sample_frames_filter_is_in_plan(media):
     """The media_type predicate must sit BELOW the Arrow boundary: non-video
     payloads never cross into Python."""
