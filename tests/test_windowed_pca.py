@@ -25,6 +25,18 @@ from featureextraction_jl_spark.plans.windowed_pca import (
 )
 
 T0 = dt.datetime(2025, 3, 1, 0, 0, 0)
+
+
+def _utc_label(t: dt.datetime, floor_s: int = 3600) -> dt.datetime:
+    """The engine's model-key label for a naive driver-side datetime, OS-tz
+    independent: PySpark interprets naive datetimes in the OS timezone
+    (t.timestamp() applies the same rule), windows align on the epoch, and
+    model keys are the naive-UTC rendering of the window-start epoch
+    (windowed_pca._win_dt).  Lets these gates pass under any whole-hour OS
+    timezone (TZ=Asia/Tokyo spot-run), not just the UTC the driver uses."""
+    epoch = int(t.timestamp()) // floor_s * floor_s
+    return dt.datetime.fromtimestamp(
+        epoch, dt.timezone.utc).replace(tzinfo=None)
 P = 4
 
 
@@ -108,7 +120,9 @@ def test_windowed_lag_models_strict_point_in_time(spark, windowed_df):
     pdf = out.toPandas()
     oracle = _numpy_window_models(pdf)
     eps = 1e-12
-    first = pdf["ts"] < T0 + dt.timedelta(hours=1)
+    # toPandas renders LTZ in the SESSION tz (UTC); compare against the
+    # OS-tz-independent UTC label of T0, not T0's naive form
+    first = pdf["ts"] < _utc_label(T0) + dt.timedelta(hours=1)
     assert pdf.loc[first, "feature_vec"].isna().all()
     rest = pdf.loc[~first]
     assert rest["feature_vec"].notna().all()
@@ -414,7 +428,7 @@ def test_windowed_nan_float_key_semantics(spark):
         rows, "grp double, ts timestamp, vec array<double>")
     out, fitted = run_windowed_features(df, "vec", "ts", "1 hour",
                                         key_cols=("grp",))
-    assert list(fitted.models) == [(None, T0)]
+    assert list(fitted.models) == [(None, _utc_label(T0))]
     assert out.toPandas()["feature_vec"].notna().all()
 
     # NULL + NaN key groups in ONE window: dict collision -> loud error
