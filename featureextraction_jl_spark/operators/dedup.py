@@ -412,6 +412,97 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                        F.lit(0).cast("long")).alias("simhash")))
 
 
+def simhash_pairs_from_fingerprints(fps: DataFrame, id_col: str = "doc_id",
+                                    fp_col: str = "simhash",
+                                    max_hamming: int = 3,
+                                    bands: int | None = None, bits: int = 64,
+                                    max_bucket: int | None = 1000
+                                    ) -> DataFrame:
+    """Pairs of ids whose ``bits``-bit fingerprints differ in <= max_hamming
+    bits — EXACT for that predicate, never O(n^2).
+
+    Pigeonhole banding: split the fingerprint into ``bands`` contiguous bit
+    segments; a pair with hamming distance h has at most h corrupted
+    segments, so with ``bands >= max_hamming + 1`` (the default, and a hard
+    requirement) every qualifying pair shares at least one UNCHANGED segment
+    and survives the banded equi self-join on (band_idx, segment_value).
+    Candidates are then verified with ``bit_count(xor)`` — all JVM-side,
+    no UDF anywhere.  Returns distinct (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape (100 TB): the only shuffle keys are (band, segment) — the
+    same bounded-bucket self-join as ``minhash_lsh_pairs``, with the same
+    ``max_bucket`` degenerate-corpus guard (every empty/near-empty doc
+    fingerprints to the SAME value, so one bucket per band would otherwise
+    emit ~n^2 join rows; dropping over-wide buckets via a window count on
+    the join's own partitioning costs no extra exchange).  The self-join
+    recomputes the fingerprint pipeline once per side — the same trade
+    ``minhash_lsh_pairs`` A/B-measured for its banded frame
+    (BENCH/q41_ab.json: persist won ~4% at sf0.1 but leaves the caller
+    owning unpersist in a long-lived session); persist ``fps`` yourself
+    before calling if the fingerprint pass dominates at your scale.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}: pigeonhole needs bands >= max_hamming + 1 "
+            f"(a pair may corrupt one bit in every band otherwise)")
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds fingerprint bits={bits}")
+    # contiguous segments, widths differing by at most 1 when bands does
+    # not divide bits — pigeonhole holds for ANY partition into segments
+    segs, off = [], 0
+    base, extra = divmod(bits, bands)
+    for i in range(bands):
+        w = base + (1 if i < extra else 0)
+        if w >= 64:
+            # single full-width band: the segment IS the fingerprint
+            # ((1 << 64) - 1 does not fit a long mask)
+            val = F.col(fp_col)
+        else:
+            val = F.shiftrightunsigned(F.col(fp_col), off) \
+                .bitwiseAND(F.lit((1 << w) - 1))
+        segs.append(F.struct(F.lit(i).alias("band"),
+                             val.alias("band_val")))
+        off += w
+    banded = (fps.select(id_col, fp_col, F.explode(F.array(*segs)).alias("s"))
+              .select(id_col, fp_col, "s.band", "s.band_val"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_val")
+        banded = (banded
+                  .withColumn("__w", F.count(F.lit(1)).over(wb))
+                  .filter(F.col("__w") <= max_bucket)
+                  .drop("__w"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}")))
+    return (a.join(b, on=["band", "band_val"], how="inner")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bands: int | None = None, bits: int = 64, n: int = 3,
+                  max_bucket: int | None = 1000) -> DataFrame:
+    """SimHash near-dup pairs over raw text (task-spec SimHash dedup):
+    fingerprint (``simhash``, one pass, JVM-side) -> pigeonhole-banded
+    hamming join (``simhash_pairs_from_fingerprints``).  Duplicate input
+    ids collapse to one fingerprint row (pair semantics are id-based,
+    matching ``minhash_lsh_pairs``); the result composes directly with
+    ``near_dedup_survivors`` / ``connected_components``."""
+    fps = simhash(df, text_col, id_col, bits=bits, n=n).distinct()
+    return simhash_pairs_from_fingerprints(
+        fps, id_col, "simhash", max_hamming=max_hamming, bands=bands,
+        bits=bits, max_bucket=max_bucket)
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame,
                          id_col: str = "doc_id",
                          left: str = "id_a", right: str = "id_b",

@@ -401,6 +401,108 @@ def test_connected_components_caches_edges_upstream_once(spark):
     assert acc_ids.value == 1, f"ids evaluated {acc_ids.value}x (expected 1: the eager labels checkpoint job)"
 
 
+def _signed64(v: int) -> int:
+    """Python int -> the signed 64-bit value Spark's long column stores."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """simhash_pairs must return EXACTLY the pairs whose fingerprints differ
+    in <= max_hamming bits (pigeonhole banding loses nothing at
+    bands >= max_hamming + 1), with the correct hamming value."""
+    from featureextraction_jl_spark.operators.dedup import simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the river")
+    texts = [base, base + " again", base.replace("quick", "swift"),
+             "completely unrelated text about spark shuffle partitions",
+             base.replace("lazy", "sleepy"), "short", base + " once more"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    want = {}
+    for i in fps:
+        for j in fps:
+            if i < j:
+                h = bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    want[(i, j)] = h
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_simhash_pairs_pigeonhole_adversarial_bits(spark):
+    """Bit-level recall proof points: flips concentrated in ONE band, spread
+    over several bands, one flip in EVERY band (the pigeonhole boundary —
+    must be excluded at max_hamming = bands - 1), and a sign-bit flip
+    (shiftrightunsigned, not shiftright, on the top segment)."""
+    from featureextraction_jl_spark.operators.dedup import (
+        simhash_pairs_from_fingerprints)
+
+    base = 0x0F0F0F0F0F0F0F0F
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),                                  # 3 flips, band 0
+        (2, base ^ (1 | (1 << 20) | (1 << 40))),            # 3 bands hit
+        (3, base ^ (1 | (1 << 20) | (1 << 40) | (1 << 60))),  # ALL 4 bands
+        (4, base ^ (1 << 63)),                              # sign bit only
+    ]
+    fps = spark.createDataFrame([(i, _signed64(v)) for i, v in rows],
+                                "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs_from_fingerprints(
+               fps, max_hamming=3).collect()}
+    # (0,3) has hamming 4 with one corrupted bit in EVERY band: correctly
+    # absent; everything at <= 3 present with exact distances
+    assert got == {(0, 1): 3, (0, 2): 3, (2, 3): 1, (0, 4): 1}
+
+
+def test_simhash_pairs_validates_banding(spark):
+    from featureextraction_jl_spark.operators.dedup import (
+        simhash_pairs_from_fingerprints)
+
+    fps = spark.createDataFrame([(0, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_from_fingerprints(fps, max_hamming=3, bands=3)
+    with pytest.raises(ValueError, match="exceeds fingerprint bits"):
+        simhash_pairs_from_fingerprints(fps, max_hamming=70)
+
+
+def test_simhash_pairs_degenerate_corpus_bounded(spark):
+    """Every empty/short doc fingerprints to the same value -> one bucket
+    per band; the max_bucket cap must keep the self-join bounded (same
+    guard class as minhash_lsh_pairs)."""
+    from featureextraction_jl_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(i, "") for i in range(3000)],
+                               "doc_id long, text string")
+    assert simhash_pairs(df, max_bucket=100).count() == 0
+    # and with the cap lifted at tiny scale, the pairs are all hamming 0
+    tiny = spark.createDataFrame([(i, "") for i in range(4)],
+                                 "doc_id long, text string")
+    rows = simhash_pairs(tiny, max_bucket=None).collect()
+    assert len(rows) == 6 and all(r.hamming == 0 for r in rows)
+
+
+def test_simhash_pairs_compose_with_survivors(spark):
+    """The pair frame feeds near_dedup_survivors like the LSH pairs do."""
+    from featureextraction_jl_spark.operators.dedup import (
+        near_dedup_survivors, simhash_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps "
+            "in the warm afternoon sun beside the river")
+    df = spark.createDataFrame(
+        [(0, base), (1, base + "."), (2, "unrelated text entirely "
+                                         "about something else")],
+        "doc_id long, text string")
+    # trailing-dot variant measures hamming 4 from base; unrelated is ~36
+    pairs = simhash_pairs(df, max_hamming=6)
+    surv = {r.doc_id for r in near_dedup_survivors(df, pairs).collect()}
+    assert surv == {0, 2}
+
+
 def test_connected_components_empty_ids_returns_empty(spark):
     """Code-review r05: a 0-row id set must converge trivially (empty
     labels frame), not spin to max_iter on a NULL convergence sum and
