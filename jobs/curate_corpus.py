@@ -63,6 +63,7 @@ from featureextraction_jl_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     near_dedup_survivors,
+    simhash_pairs,
 )
 from featureextraction_jl_spark.plans.checkpoint import (
     MANIFEST_DIR,
@@ -80,16 +81,27 @@ class CurateConfig:
     """Knobs for the curation pipeline; hashed into every stage manifest."""
     id_col: str = "doc_id"
     text_col: str = "text"
-    # near-dup LSH (minhash_lsh_pairs defaults; max_bucket keeps the
-    # degenerate-corpus guard ON — this is the production path)
+    # near-dup candidate method: "minhash" (banded Jaccard LSH) or
+    # "simhash" (pigeonhole hamming banding — exact for hamming <=
+    # max_hamming); max_bucket keeps the degenerate-corpus guard ON for
+    # both — this is the production path
+    neardup_method: str = "minhash"
     num_hashes: int = 32
     bands: int = 8
     shingle_k: int = 5
+    max_hamming: int = 3          # simhash only
     max_bucket: int | None = 1000
     # final-stage quality gates
     min_word_tokens: int = 3          # drop near-empty docs
     max_digit_frac: float = 0.5       # drop mostly-numeric docs
     keep_langs: tuple[str, ...] = ()  # () = keep every language
+
+    def __post_init__(self):
+        # fail at construction, not after stats+exact have been paid
+        if self.neardup_method not in ("minhash", "simhash"):
+            raise ValueError(
+                f"neardup_method must be 'minhash' or 'simhash', got "
+                f"{self.neardup_method!r}")
 
 
 # Knobs each stage body actually reads — the stage's manifest hashes only
@@ -100,8 +112,9 @@ class CurateConfig:
 _STAGE_CFG_FIELDS = {
     "stats": ("id_col", "text_col"),
     "exact": ("id_col", "text_col"),
-    "neardup": ("id_col", "text_col",
-                "num_hashes", "bands", "shingle_k", "max_bucket"),
+    "neardup": ("id_col", "text_col", "neardup_method",
+                "num_hashes", "bands", "shingle_k", "max_hamming",
+                "max_bucket"),
     "final": ("id_col", "text_col",
               "min_word_tokens", "max_digit_frac", "keep_langs"),
 }
@@ -137,9 +150,18 @@ def _stage_exact(stats: DataFrame, cfg: CurateConfig) -> DataFrame:
 
 
 def _stage_neardup(exact: DataFrame, cfg: CurateConfig) -> DataFrame:
-    pairs = minhash_lsh_pairs(
-        exact, cfg.text_col, cfg.id_col, num_hashes=cfg.num_hashes,
-        bands=cfg.bands, k=cfg.shingle_k, max_bucket=cfg.max_bucket)
+    if cfg.neardup_method == "minhash":
+        pairs = minhash_lsh_pairs(
+            exact, cfg.text_col, cfg.id_col, num_hashes=cfg.num_hashes,
+            bands=cfg.bands, k=cfg.shingle_k, max_bucket=cfg.max_bucket)
+    elif cfg.neardup_method == "simhash":
+        pairs = simhash_pairs(
+            exact, cfg.text_col, cfg.id_col, max_hamming=cfg.max_hamming,
+            max_bucket=cfg.max_bucket)
+    else:
+        raise ValueError(
+            f"neardup_method must be 'minhash' or 'simhash', got "
+            f"{cfg.neardup_method!r}")
     return near_dedup_survivors(exact, pairs, cfg.id_col)
 
 
@@ -301,8 +323,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-digit-frac", type=float, default=0.5)
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated (empty = keep all)")
+    ap.add_argument("--neardup-method", default="minhash",
+                    choices=("minhash", "simhash"))
     args = ap.parse_args(argv)
     cfg = CurateConfig(
+        neardup_method=args.neardup_method,
         min_word_tokens=args.min_word_tokens,
         max_digit_frac=args.max_digit_frac,
         keep_langs=_parse_keep_langs(args.keep_langs))

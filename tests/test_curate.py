@@ -183,6 +183,30 @@ def test_read_curated_rejects_unknown_stage(spark, tmp_path):
         read_curated(spark, str(tmp_path), stage="bogus")
 
 
+def test_simhash_method_equals_direct_and_invalidates_neardup(
+        spark, sf_dir, tmp_path):
+    """neardup_method='simhash' routes the candidate stage through the
+    pigeonhole hamming banding; switching method must recompute exactly
+    neardup+final (per-stage config hash + chain), and the staged output
+    must equal the direct composition with the same config."""
+    out = str(tmp_path / "curated")
+    curate_corpus(spark, _docs_path(sf_dir), out, CFG)
+    sim = CurateConfig(neardup_method="simhash")
+    job = curate_corpus(spark, _docs_path(sf_dir), out, sim)
+    assert job["stages_computed_this_run"] == ["neardup", "final"]
+    assert job["stages_resumed"] == ["stats", "exact"]
+    staged, _ = _snapshot(read_curated(spark, out))
+    direct, _ = _snapshot(_direct(spark, sf_dir, sim))
+    assert staged == direct
+    assert job["rows_final"] > 0
+
+
+def test_unknown_neardup_method_raises_at_construction():
+    # must fail BEFORE any stage is paid, i.e. at config construction
+    with pytest.raises(ValueError, match="neardup_method"):
+        CurateConfig(neardup_method="bogus")
+
+
 def test_keep_langs_cli_parsing_strips_whitespace():
     from jobs.curate_corpus import _parse_keep_langs
     assert _parse_keep_langs("en, fr") == ("en", "fr")
