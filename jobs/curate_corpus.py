@@ -6,7 +6,9 @@ on a raw scraped corpus before training, end-to-end:
     stats    -> per-doc token counts + quality signals + language ID
                 (functions/text.py expression builders — pure JVM narrow map)
     exact    -> byte-exact dedup (paired-xxhash64 digest, min-id survivor)
-    neardup  -> MinHash-LSH candidate pairs -> connected components ->
+    neardup  -> candidate pairs (MinHash-LSH banding, SimHash pigeonhole
+                banding, or embedding-cosine hyperplane LSH over a side
+                table of per-doc vectors) -> connected components ->
                 one survivor per near-dup cluster
     final    -> quality/language filters -> curated corpus
 
@@ -60,6 +62,7 @@ from featureextraction_jl_spark.functions.text import (
     token_count_cols,
 )
 from featureextraction_jl_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     near_dedup_survivors,
@@ -81,16 +84,27 @@ class CurateConfig:
     """Knobs for the curation pipeline; hashed into every stage manifest."""
     id_col: str = "doc_id"
     text_col: str = "text"
-    # near-dup candidate method: "minhash" (banded Jaccard LSH) or
+    # near-dup candidate method: "minhash" (banded Jaccard LSH),
     # "simhash" (pigeonhole hamming banding — exact for hamming <=
-    # max_hamming); max_bucket keeps the degenerate-corpus guard ON for
-    # both — this is the production path
+    # max_hamming), or "embedding" (cosine near-dup via multi-table
+    # hyperplane LSH over a per-doc embedding table — requires
+    # embeddings_path); max_bucket keeps the degenerate-corpus guard ON
+    # for all three — this is the production path
     neardup_method: str = "minhash"
     num_hashes: int = 32
     bands: int = 8
     shingle_k: int = 5
     max_hamming: int = 3          # simhash only
     max_bucket: int | None = 1000
+    # embedding method only: parquet with one vector per doc.  Joined to
+    # the exact-stage survivors on (emb_id_col == id_col); docs without a
+    # vector simply produce no candidate pairs (they survive near-dedup).
+    embeddings_path: str | None = None
+    emb_id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    emb_threshold: float = 0.95
+    emb_planes: int = 8
+    emb_tables: int = 8
     # final-stage quality gates
     min_word_tokens: int = 3          # drop near-empty docs
     max_digit_frac: float = 0.5       # drop mostly-numeric docs
@@ -98,10 +112,14 @@ class CurateConfig:
 
     def __post_init__(self):
         # fail at construction, not after stats+exact have been paid
-        if self.neardup_method not in ("minhash", "simhash"):
+        if self.neardup_method not in ("minhash", "simhash", "embedding"):
             raise ValueError(
-                f"neardup_method must be 'minhash' or 'simhash', got "
-                f"{self.neardup_method!r}")
+                f"neardup_method must be 'minhash', 'simhash' or "
+                f"'embedding', got {self.neardup_method!r}")
+        if self.neardup_method == "embedding" and not self.embeddings_path:
+            raise ValueError(
+                "neardup_method='embedding' requires embeddings_path "
+                "(parquet with one vector per doc)")
 
 
 # Knobs each stage body actually reads — the stage's manifest hashes only
@@ -114,7 +132,8 @@ _STAGE_CFG_FIELDS = {
     "exact": ("id_col", "text_col"),
     "neardup": ("id_col", "text_col", "neardup_method",
                 "num_hashes", "bands", "shingle_k", "max_hamming",
-                "max_bucket"),
+                "max_bucket", "embeddings_path", "emb_id_col", "vec_col",
+                "emb_threshold", "emb_planes", "emb_tables"),
     "final": ("id_col", "text_col",
               "min_word_tokens", "max_digit_frac", "keep_langs"),
 }
@@ -158,10 +177,29 @@ def _stage_neardup(exact: DataFrame, cfg: CurateConfig) -> DataFrame:
         pairs = simhash_pairs(
             exact, cfg.text_col, cfg.id_col, max_hamming=cfg.max_hamming,
             max_bucket=cfg.max_bucket)
+    elif cfg.neardup_method == "embedding":
+        # Vectors ride a side table, not the document rows: the stats/exact
+        # parquet stays text-only (no wide array column written twice) and
+        # the id-equi join below is the only place vectors meet docs.  A
+        # doc without a vector yields no candidate pairs — it survives.
+        emb = exact.sparkSession.read.parquet(cfg.embeddings_path)
+        missing = {cfg.emb_id_col, cfg.vec_col} - set(emb.columns)
+        if missing:
+            raise ValueError(
+                f"embeddings input {cfg.embeddings_path!r} lacks required "
+                f"column(s) {sorted(missing)}; has {emb.columns}")
+        vecs = (exact.select(cfg.id_col)
+                .join(emb.select(F.col(cfg.emb_id_col).alias(cfg.id_col),
+                                 cfg.vec_col),
+                      on=cfg.id_col, how="inner"))
+        pairs = embedding_near_dup_pairs(
+            vecs, cfg.vec_col, cfg.id_col, threshold=cfg.emb_threshold,
+            n_planes=cfg.emb_planes, n_tables=cfg.emb_tables,
+            max_bucket=cfg.max_bucket)
     else:
         raise ValueError(
-            f"neardup_method must be 'minhash' or 'simhash', got "
-            f"{cfg.neardup_method!r}")
+            f"neardup_method must be 'minhash', 'simhash' or 'embedding', "
+            f"got {cfg.neardup_method!r}")
     return near_dedup_survivors(exact, pairs, cfg.id_col)
 
 
@@ -214,9 +252,20 @@ def curate_corpus(
         spath = os.path.join(mdir, f"stage_{stage}.json")
         data_dir = os.path.join(out_dir, f"stage={stage}")
         chash = _config_hash(cfg, stage)
+        # Side inputs a stage reads beyond the staged chain: the neardup
+        # stage's embeddings table.  Its BYTES must invalidate the stage
+        # the same way the documents bytes do — the config hash alone only
+        # sees the path string, and re-written vectors at the same path
+        # would otherwise resume over a stale pair graph.  None for every
+        # other stage/method, which also keeps pre-existing manifests
+        # (no "aux_fingerprint" key -> .get() None) chain-valid.
+        aux_fp = (input_fingerprint(cfg.embeddings_path)
+                  if stage == "neardup" and cfg.neardup_method == "embedding"
+                  else None)
         man = _read_json(spath)
         if (man and man.get("input_fingerprint") == fp
                 and man.get("config_hash") == chash
+                and man.get("aux_fingerprint") == aux_fp
                 and man.get("upstream_manifest") == upstream_hash
                 and os.path.isdir(data_dir)):
             upstream_hash = _manifest_hash(man)
@@ -249,6 +298,7 @@ def curate_corpus(
             "stage": stage,
             "input_fingerprint": fp,
             "config_hash": chash,
+            "aux_fingerprint": aux_fp,
             "upstream_manifest": upstream_hash,
             "rows_out": int(obs.get["rows"]),
             "wall_s": round(time.monotonic() - t0, 3),
@@ -324,10 +374,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated (empty = keep all)")
     ap.add_argument("--neardup-method", default="minhash",
-                    choices=("minhash", "simhash"))
+                    choices=("minhash", "simhash", "embedding"))
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet with one vector per doc "
+                         "(required for --neardup-method embedding)")
+    ap.add_argument("--emb-threshold", type=float, default=0.95)
     args = ap.parse_args(argv)
     cfg = CurateConfig(
         neardup_method=args.neardup_method,
+        embeddings_path=args.embeddings,
+        emb_threshold=args.emb_threshold,
         min_word_tokens=args.min_word_tokens,
         max_digit_frac=args.max_digit_frac,
         keep_langs=_parse_keep_langs(args.keep_langs))

@@ -207,6 +207,113 @@ def test_unknown_neardup_method_raises_at_construction():
         CurateConfig(neardup_method="bogus")
 
 
+def _write_emb_vectors(spark, emb, *, seed=0, planted=(0, 1, 2), n=30):
+    """(Re)write ONLY the side embedding table with one planted near-dup
+    cluster: vectors for ``planted`` ids share a base direction (cosine
+    ~0.9999 pairwise); every other vector is an independent 64-dim
+    Gaussian (pairwise cosine ~N(0, 1/64), nowhere near 0.95).  Kept
+    separate from the docs write so the resume test can change vector
+    bytes without touching the documents fingerprint."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = 64
+    base = rng.normal(size=dim)
+    vecs = rng.normal(size=(n, dim))
+    for i in planted:
+        vecs[i] = base + 1e-3 * rng.normal(size=dim)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>") \
+        .write.mode("overwrite").parquet(emb)
+
+
+def _write_emb_corpus(spark, tmp_path, *, seed=0, planted=(0, 1, 2)):
+    """Synthetic docs + side embedding table (see _write_emb_vectors).
+    Texts are all unique so exact dedup keeps every row and any shrinkage
+    at the neardup stage is attributable to the embedding method alone."""
+    n = 30
+    docs = str(tmp_path / "emb_docs")
+    emb = str(tmp_path / "emb_vectors")
+    spark.createDataFrame(
+        [(i, f"unique document text number {i} with many plain words")
+         for i in range(n)],
+        "doc_id bigint, text string").write.mode("overwrite").parquet(docs)
+    _write_emb_vectors(spark, emb, seed=seed, planted=planted, n=n)
+    return docs, emb
+
+
+def test_embedding_method_equals_direct_and_merges_planted(
+        spark, tmp_path):
+    """neardup_method='embedding' routes the candidate stage through
+    hyperplane-LSH cosine pairs over the side embedding table: the staged
+    run must equal the direct composition, and exactly the planted
+    near-identical cluster must collapse to its min-id survivor."""
+    docs, emb = _write_emb_corpus(spark, tmp_path, planted=(0, 1, 2))
+    cfg = CurateConfig(neardup_method="embedding", embeddings_path=emb,
+                       min_word_tokens=1)
+    out = str(tmp_path / "curated")
+    job = curate_corpus(spark, docs, out, cfg)
+    staged, n = _snapshot(read_curated(spark, out))
+    # 30 unique texts -> exact keeps 30; the one planted 3-cluster merges
+    # to doc_id 0; random Gaussian pairs sit far below the 0.95 threshold
+    assert job["rows_out_per_stage"]["exact"] == 30
+    assert job["rows_out_per_stage"]["neardup"] == 28
+    survivors = set(staged)
+    assert 0 in survivors and 1 not in survivors and 2 not in survivors
+
+    def _direct_from(path):
+        df = spark.read.parquet(path)
+        for stage in STAGES:
+            df = _STAGE_FNS[stage](df, cfg)
+        return df
+
+    direct, n2 = _snapshot(_direct_from(docs))
+    assert staged == direct and n == n2
+
+
+def test_embedding_requires_embeddings_path():
+    with pytest.raises(ValueError, match="embeddings_path"):
+        CurateConfig(neardup_method="embedding")
+
+
+def test_embeddings_byte_change_invalidates_neardup_only(spark, tmp_path):
+    """Re-written vector bytes at the SAME embeddings path must recompute
+    neardup+final (aux fingerprint in the stage manifest) while stats and
+    exact — which never read the side table — resume; and the re-run must
+    reflect the NEW vectors, not the stale pair graph."""
+    docs, emb = _write_emb_corpus(spark, tmp_path, planted=(0, 1, 2))
+    cfg = CurateConfig(neardup_method="embedding", embeddings_path=emb,
+                       min_word_tokens=1)
+    out = str(tmp_path / "curated")
+    first = curate_corpus(spark, docs, out, cfg)
+    assert first["rows_out_per_stage"]["neardup"] == 28
+
+    # same path, different planted cluster -> different survivors; docs
+    # parquet is NOT rewritten, so stats/exact must resume
+    _write_emb_vectors(spark, emb, seed=1, planted=(5, 6))
+    job = curate_corpus(spark, docs, out, cfg)
+    assert job["stages_resumed"] == ["stats", "exact"]
+    assert job["stages_computed_this_run"] == ["neardup", "final"]
+    assert job["rows_out_per_stage"]["neardup"] == 29
+    survivors = set(_snapshot(read_curated(spark, out))[0])
+    assert {0, 1, 2} <= survivors and 5 in survivors and 6 not in survivors
+
+    # unchanged bytes on a third run: everything resumes
+    third = curate_corpus(spark, docs, out, cfg)
+    assert third["stages_computed_this_run"] == []
+
+
+def test_embedding_missing_vector_column_raises(spark, tmp_path):
+    docs, emb = _write_emb_corpus(spark, tmp_path)
+    bad = str(tmp_path / "bad_emb")
+    spark.read.parquet(emb).select("vec_id").write.parquet(bad)
+    cfg = CurateConfig(neardup_method="embedding", embeddings_path=bad,
+                       min_word_tokens=1)
+    with pytest.raises(ValueError, match="required column"):
+        curate_corpus(spark, docs, str(tmp_path / "out"), cfg)
+
+
 def test_keep_langs_cli_parsing_strips_whitespace():
     from jobs.curate_corpus import _parse_keep_langs
     assert _parse_keep_langs("en, fr") == ("en", "fr")
