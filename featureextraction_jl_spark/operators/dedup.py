@@ -211,6 +211,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     (q41's oracle contract does — its corpus is far below the cap either
     way, and the exactness is what the DuckDB twin checks).
     """
+    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, k,
+                           portable)
+    return lsh_pairs_from_bands(banded, id_col, max_bucket=max_bucket,
+                                cache_banded=cache_banded)
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_hashes: int = 32,
+                  bands: int = 8, k: int = 5,
+                  portable: bool = False) -> DataFrame:
+    """(id, band:int, band_hash) rows — the LSH banding step of
+    ``minhash_lsh_pairs``, exposed so callers that need the band keys
+    themselves (the incremental dedup index in operators/incremental.py)
+    share one signature pipeline instead of recomputing shingles twice.
+    ``band_hash`` is a long (xxhash64 of the signature slice) on the scale
+    path, a string on the ``portable`` oracle path."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, k, portable)
@@ -219,12 +235,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ",", F.slice("signature", b * r + 1, r).cast("array<string>"))
     else:
         band_key = lambda b: F.xxhash64(F.slice("signature", b * r + 1, r).cast("string"))
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.posexplode(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_pairs_from_bands(banded: DataFrame, id_col: str = "doc_id",
+                         max_bucket: int | None = 1000,
+                         cache_banded: bool = False) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from ``minhash_bands`` rows
+    via the (band, band_hash) equi self-join; ``max_bucket``/``cache_banded``
+    semantics exactly as documented on ``minhash_lsh_pairs`` (which is now
+    ``lsh_pairs_from_bands(minhash_bands(...))``)."""
     if max_bucket is not None:
         wb = Window.partitionBy("band", "band_hash")
         banded = (banded

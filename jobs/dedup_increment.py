@@ -1,0 +1,79 @@
+"""CLI: dedup ONE incoming batch against a persistent dedup index, write
+the survivors, and (unless --dry-run) append their digests + band hashes
+to the index so the NEXT batch dedups against them too.
+
+    spark-submit --py-files dist/featureextraction_jl_spark.zip \\
+        jobs/dedup_increment.py \\
+        --docs  /data/crawl/2026-08-20/documents.parquet \\
+        --index /data/corpus/dedup_index \\
+        --out   /data/corpus/batches/2026-08-20 \\
+        --batch-id 2026-08-20
+
+Prints ONE JSON line: rows in/out per stage plus the commit manifest.
+Survivors are written BEFORE commit and the commit recomputes hashes from
+the re-read output bytes — one materialization, and what the index records
+is exactly what landed on disk (operators/incremental.py docstring).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.operators.incremental import (
+    IncrementalDedupConfig,
+    commit_batch,
+    committed_batches,
+    dedup_batch,
+)
+from featureextraction_jl_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True,
+                    help="parquet of the incoming batch")
+    ap.add_argument("--index", required=True, help="dedup index directory")
+    ap.add_argument("--out", required=True,
+                    help="output parquet dir for the batch's survivors")
+    ap.add_argument("--batch-id", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--num-hashes", type=int, default=32)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--max-bucket", type=int, default=1000,
+                    help="degenerate-bucket guard; 0 disables")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="write survivors but do not commit to the index")
+    args = ap.parse_args(argv)
+
+    cfg = IncrementalDedupConfig(
+        id_col=args.id_col, text_col=args.text_col,
+        num_hashes=args.num_hashes, bands=args.bands,
+        shingle_k=args.shingle_k,
+        max_bucket=args.max_bucket or None)
+    spark = get_spark(f"dedup-increment-{args.batch_id}")
+    docs = spark.read.parquet(args.docs)
+    rows_in = docs.count()
+    before = committed_batches(args.index)
+
+    surv = dedup_batch(spark, docs, args.index, cfg)
+    surv.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+
+    result = {"batch_id": args.batch_id, "rows_in": rows_in,
+              "rows_out": written.count(),
+              "committed_batches_before": before,
+              "dry_run": bool(args.dry_run)}
+    if not args.dry_run:
+        result["manifest"] = commit_batch(written, args.index,
+                                          args.batch_id, cfg)
+    json.dump(result, sys.stdout, sort_keys=True)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Incremental dedup (operators/incremental.py): batch-over-index
+semantics must equal the one-shot pipeline, and the index must be
+crash-safe, idempotent, and degenerate-bucket-guarded.
+
+Near-dup construction trick used throughout: a periodic string ``base*n``
+has the SAME character-k-gram set for every n >= 2, so two repeats of the
+same base are byte-distinct (survive exact dedup) yet have IDENTICAL
+MinHash signatures — they collide in every band, deterministically.
+Unrelated random-word texts collide in a band w.p. ~p^-r — negligible.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureextraction_jl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dedup_survivors,
+)
+from featureextraction_jl_spark.operators.incremental import (
+    IncrementalDedupConfig,
+    anchored_survivor_ids,
+    commit_batch,
+    committed_batches,
+    dedup_batch,
+    dedup_and_commit,
+)
+
+CFG = IncrementalDedupConfig(num_hashes=16, bands=4, shingle_k=4)
+
+FAM_A = "shared duplicate document body with plenty of words "
+FAM_B = "another family of nearly identical payload text here "
+
+
+def _unique_text(i: int) -> str:
+    rnd = random.Random(1000 + i)
+    words = [f"w{rnd.randrange(10_000)}" for _ in range(12)]
+    return f"doc number {i} " + " ".join(words)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _one_shot(docs, cfg=CFG):
+    d = exact_dedup(docs, cfg.text_col, cfg.id_col)
+    pairs = minhash_lsh_pairs(d, cfg.text_col, cfg.id_col,
+                              num_hashes=cfg.num_hashes, bands=cfg.bands,
+                              k=cfg.shingle_k, max_bucket=cfg.max_bucket)
+    return near_dedup_survivors(d, pairs, cfg.id_col)
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_two_batches_equal_one_shot_over_union(spark, tmp_path):
+    """Survivors of batch1 (committed) plus batch2-vs-index must equal the
+    one-shot exact+near dedup over the concatenation, given monotone ids."""
+    b1 = _docs(spark, [
+        (0, FAM_A * 2),            # near-dup family A, survivor
+        (1, FAM_A * 3),            # dropped (near-dup of 0)
+        (2, _unique_text(2)),
+        (3, _unique_text(2)),      # byte-exact dup of 2 -> dropped
+        (4, _unique_text(4)),
+    ])
+    b2 = _docs(spark, [
+        (10, _unique_text(2)),     # byte-exact dup of corpus doc 2
+        (11, FAM_A * 4),           # near-dup of corpus family A
+        (12, FAM_B * 2),           # new family: batch2-internal near-dups
+        (13, FAM_B * 5),           #   -> 12 survives, 13 dropped
+        (14, _unique_text(14)),
+    ])
+    idx = str(tmp_path / "idx")
+    s1 = dedup_batch(spark, b1, idx, CFG)
+    assert _ids(s1) == {0, 2, 4}
+    commit_batch(s1, idx, "b1", CFG)
+    s2 = dedup_batch(spark, b2, idx, CFG)
+    assert _ids(s2) == {12, 14}
+
+    full = _one_shot(b1.unionByName(b2))
+    assert _ids(s1) | _ids(s2) == _ids(full) == {0, 2, 4, 12, 14}
+
+
+def test_first_batch_without_index_equals_plain_pipeline(spark, tmp_path):
+    docs = _docs(spark, [(0, FAM_A * 2), (1, FAM_A * 3),
+                         (2, _unique_text(2)), (3, _unique_text(2))])
+    got = dedup_batch(spark, docs, str(tmp_path / "nonexistent"), CFG)
+    assert _ids(got) == _ids(_one_shot(docs)) == {0, 2}
+
+
+def test_anchored_transitive_chain_drops_indirect_member(spark):
+    """Component {corpus 7, new 20, new 21} where 21 only links via 20:
+    BOTH new ids must drop; a corpus-free component keeps its min id."""
+    cc = spark.createDataFrame(
+        [(7, 7), (20, 7), (21, 7),      # anchored component
+         (30, 30), (31, 30),            # new-only component
+         (40, 40)],                      # isolated new doc
+        "doc_id long, cluster_id long")
+    corpus = spark.createDataFrame([(7,)], "doc_id long")
+    keep = anchored_survivor_ids(cc, corpus, "doc_id")
+    assert _ids(keep) == {30, 40}
+
+
+def test_recommit_is_idempotent_and_config_mismatch_raises(spark, tmp_path):
+    docs = _docs(spark, [(0, _unique_text(0)), (1, _unique_text(1))])
+    idx = str(tmp_path / "idx")
+    man = commit_batch(docs, idx, "b1", CFG)
+    assert man["rows"] == 2 and "already_committed" not in man
+    again = commit_batch(docs, idx, "b1", CFG)
+    assert again["already_committed"] is True
+    assert committed_batches(idx) == ["b1"]
+    with pytest.raises(ValueError, match="config_hash"):
+        commit_batch(docs, idx, "b1",
+                     IncrementalDedupConfig(num_hashes=16, bands=4,
+                                            shingle_k=4, max_bucket=7))
+
+
+def test_banding_param_change_against_existing_index_raises(spark, tmp_path):
+    docs = _docs(spark, [(0, _unique_text(0))])
+    idx = str(tmp_path / "idx")
+    commit_batch(docs, idx, "b1", CFG)
+    other = IncrementalDedupConfig(num_hashes=32, bands=8, shingle_k=4)
+    with pytest.raises(ValueError, match="banding params"):
+        dedup_batch(spark, docs, idx, other)
+    with pytest.raises(ValueError, match="banding params"):
+        commit_batch(docs, idx, "b2", other)
+
+
+def test_bad_batch_id_raises(spark, tmp_path):
+    docs = _docs(spark, [(0, _unique_text(0))])
+    with pytest.raises(ValueError, match="batch_id"):
+        commit_batch(docs, str(tmp_path / "idx"), "has/slash", CFG)
+
+
+def test_unmanifested_data_dirs_are_invisible(spark, tmp_path):
+    """A crashed commit = data dirs without a manifest: readers must not
+    see them.  Plant phantom digests/bands that WOULD kill batch2's docs
+    if read; batch2 must be unaffected."""
+    idx = str(tmp_path / "idx")
+    b1 = _docs(spark, [(0, _unique_text(0))])
+    dedup_and_commit(spark, b1, idx, "b1", CFG)
+
+    b2 = _docs(spark, [(10, FAM_A * 2), (11, _unique_text(11))])
+    from featureextraction_jl_spark.operators.dedup import (
+        content_digests, minhash_bands)
+    d1, d2 = content_digests("text")
+    (b2.select(F.col("doc_id").alias("id"), d1.alias("d1"), d2.alias("d2"))
+       .write.parquet(os.path.join(idx, "digests", "batch=phantom")))
+    (minhash_bands(b2, "text", "doc_id", CFG.num_hashes, CFG.bands,
+                   CFG.shingle_k)
+       .select(F.col("doc_id").alias("id"), "band", "band_hash")
+       .write.parquet(os.path.join(idx, "bands", "batch=phantom")))
+
+    assert committed_batches(idx) == ["b1"]
+    got = dedup_batch(spark, b2, idx, CFG)
+    assert _ids(got) == {10, 11}
+
+
+def test_heavy_corpus_bucket_guard_sums_stats_across_batches(spark,
+                                                             tmp_path):
+    """band_stats are additive: two committed batches of 3+2 same-family
+    docs make every family band bucket width 5.  With max_bucket=3 the
+    corpus side of those buckets is excluded (a new family member gets no
+    cross candidates and SURVIVES); with the guard off it is dropped.
+    commit_batch deliberately does not re-verify, so committing raw
+    near-dups is the documented way to fabricate a wide corpus bucket."""
+    cfg = IncrementalDedupConfig(num_hashes=16, bands=4, shingle_k=4,
+                                 max_bucket=3)
+    idx = str(tmp_path / "idx")
+    commit_batch(_docs(spark, [(i, FAM_A * (2 + i)) for i in range(3)]),
+                 idx, "b1", cfg)
+    commit_batch(_docs(spark, [(i, FAM_A * (2 + i)) for i in range(3, 5)]),
+                 idx, "b2", cfg)
+
+    newbie = _docs(spark, [(10, FAM_A * 9)])
+    assert _ids(dedup_batch(spark, newbie, idx, cfg)) == {10}
+    uncapped = IncrementalDedupConfig(num_hashes=16, bands=4, shingle_k=4,
+                                      max_bucket=None)
+    assert _ids(dedup_batch(spark, newbie, idx, uncapped)) == set()
+
+
+def test_short_and_null_texts_exact_dedup_but_never_near_dup(spark,
+                                                             tmp_path):
+    """NULL text produces no shingles (hence no band rows); short text
+    produces one truncated gram.  Byte-equal ones still dedup cross-batch
+    via digests; distinct ones all survive near-dedup."""
+    idx = str(tmp_path / "idx")
+    b1 = _docs(spark, [(0, "ab"), (1, None), (2, _unique_text(2))])
+    s1, _ = dedup_and_commit(spark, b1, idx, "b1", CFG)
+    assert _ids(s1) == {0, 1, 2}
+    b2 = _docs(spark, [(10, "ab"), (11, None), (12, "cd")])
+    s2 = dedup_batch(spark, b2, idx, CFG)
+    # 10 = byte-dup of corpus 0; 11 = null-text twin of corpus 1 (same
+    # digest inputs -> exact-dups); 12 is new
+    assert _ids(s2) == {12}
+
+
+def test_cli_job_dry_run_then_commit(spark, tmp_path):
+    from jobs.dedup_increment import main
+
+    docs = str(tmp_path / "docs")
+    _docs(spark, [(0, FAM_A * 2), (1, FAM_A * 3),
+                  (2, _unique_text(2))]).write.parquet(docs)
+    idx = str(tmp_path / "idx")
+    out1 = str(tmp_path / "out1")
+    base = ["--docs", docs, "--index", idx, "--batch-id", "b1",
+            "--num-hashes", "16", "--bands", "4", "--shingle-k", "4"]
+    main(base + ["--out", out1, "--dry-run"])
+    assert committed_batches(idx) == []          # dry run: no commit
+    assert _ids(spark.read.parquet(out1)) == {0, 2}
+
+    main(base + ["--out", out1])
+    assert committed_batches(idx) == ["b1"]
+    with open(os.path.join(idx, "manifests", "b1.json")) as fh:
+        assert json.load(fh)["rows"] == 2
+
+    # second batch sees the committed index
+    docs2 = str(tmp_path / "docs2")
+    _docs(spark, [(10, FAM_A * 5), (11, _unique_text(11))]) \
+        .write.parquet(docs2)
+    out2 = str(tmp_path / "out2")
+    main(["--docs", docs2, "--index", idx, "--batch-id", "b2",
+          "--num-hashes", "16", "--bands", "4", "--shingle-k", "4",
+          "--out", out2])
+    assert _ids(spark.read.parquet(out2)) == {11}
+    assert committed_batches(idx) == ["b1", "b2"]
