@@ -230,3 +230,87 @@ def test_cli_job_dry_run_then_commit(spark, tmp_path):
           "--out", out2])
     assert _ids(spark.read.parquet(out2)) == {11}
     assert committed_batches(idx) == ["b1", "b2"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin (streaming/incremental.py)
+# ---------------------------------------------------------------------------
+
+def _write_parquet_file(path, ids, texts, mtime):
+    """ONE parquet file (not a dir) with a pinned mtime, so the file
+    stream's (mtime, path) ordering makes micro-batch order deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())}), path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_equals_sequential_batch_cli(spark, tmp_path):
+    """availableNow + maxFilesPerTrigger=1 over two landed files must build
+    exactly the corpus the batch path builds running the two batches in
+    mtime order against a fresh index."""
+    from featureextraction_jl_spark.streaming.incremental import (
+        read_stream_corpus, start_dedup_stream)
+
+    sdir = tmp_path / "landing"
+    sdir.mkdir()
+    b1_ids = [0, 1, 2]
+    b1_txt = [FAM_A * 2, FAM_A * 3, _unique_text(2)]
+    b2_ids = [10, 11, 12]
+    b2_txt = [FAM_A * 4, _unique_text(2), _unique_text(12)]
+    _write_parquet_file(str(sdir / "a.parquet"), b1_ids, b1_txt,
+                        1_000_000)
+    _write_parquet_file(str(sdir / "b.parquet"), b2_ids, b2_txt,
+                        2_000_000)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    q = start_dedup_stream(spark, str(sdir), "doc_id long, text string",
+                           idx, out, str(tmp_path / "chk"), CFG,
+                           max_files_per_trigger=1)
+    q.awaitTermination(300)
+    assert committed_batches(idx) == ["mb000000000000", "mb000000000001"]
+    got = _ids(read_stream_corpus(spark, out, idx))
+
+    # sequential batch-path reference on a second index
+    idx2 = str(tmp_path / "idx2")
+    s1, _ = dedup_and_commit(spark, _docs(spark, list(zip(b1_ids, b1_txt))),
+                             idx2, "b1", CFG)
+    s2, _ = dedup_and_commit(spark, _docs(spark, list(zip(b2_ids, b2_txt))),
+                             idx2, "b2", CFG)
+    want = _ids(s1) | _ids(s2)
+    assert got == want == {0, 2, 12}   # 1~0 in-batch; 10~corpus-0; 11 exact-dup of corpus 2
+
+
+def test_foreach_batch_replay_after_commit_is_noop(spark, tmp_path):
+    """The one data-loss trap: replaying an epoch whose commit landed but
+    whose sink checkpoint did not must NOT re-run dedup (the index now
+    contains the batch's own docs) and must leave the survivors intact."""
+    from featureextraction_jl_spark.streaming.incremental import (
+        dedup_foreach_batch, read_stream_corpus)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    fn = dedup_foreach_batch(idx, out, CFG)
+    docs = _docs(spark, [(0, FAM_A * 2), (1, FAM_A * 3),
+                         (2, _unique_text(2))])
+    fn(docs, 0)
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 2}
+    fn(docs, 0)   # replay of the committed epoch
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 2}
+
+    # a genuinely NEW epoch with the same docs IS deduped against the index
+    fn(docs, 1)
+    assert committed_batches(idx) == ["mb000000000000", "mb000000000001"]
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 2}
+
+
+def test_read_stream_corpus_requires_committed_batches(spark, tmp_path):
+    from featureextraction_jl_spark.streaming.incremental import (
+        read_stream_corpus)
+    with pytest.raises(ValueError, match="no committed"):
+        read_stream_corpus(spark, str(tmp_path / "out"),
+                           str(tmp_path / "idx"))
