@@ -291,6 +291,12 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
                 f"hashes to {chash!r} — refusing to silently skip a "
                 f"different commit")
         return {**man, "already_committed": True}
+    if batch_id in effective_committed_batches(index_dir):
+        # the id's own manifest was retired into a compaction batch; its
+        # rows are already in the index — recommitting would duplicate
+        # them under a now-ambiguous id
+        return {"batch_id": batch_id, "already_committed": True,
+                "compacted": True}
 
     id_c, txt = cfg.id_col, cfg.text_col
     d1, d2 = content_digests(txt)
@@ -330,6 +336,121 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
         json.dump(man, fh, sort_keys=True, indent=1)
     os.replace(tmp, mpath)
     return man
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
+    """Rewrite all committed batches into ONE batch, in place.
+
+    A long-lived index — especially one fed by the micro-batching stream
+    twin — accumulates one small dir per batch; every ``dedup_batch`` then
+    unions hundreds of file listings.  Compaction coalesces them: read the
+    committed digests/bands, rewrite under a single deterministic batch id
+    (``compact-<hash of the source list>``), manifest it, then retire the
+    sources.  ``band_stats`` are recomputed from the compacted band rows,
+    so any width inflation from a previous crash-window is squeezed back
+    to exact counts.
+
+    Crash-safe and idempotent, single-writer (do not run concurrently
+    with commits):
+
+    * crash before the target manifest: the target dirs are unmanifested
+      garbage (invisible); retry rewrites them (deterministic id).
+    * crash after the target manifest, before source retirement: target
+      AND sources are briefly both committed — reads see duplicated
+      digests/bands, which is CORRECT (anti-join and ``distinct`` absorb
+      duplicates; band_stats widths inflate ≤2×, which only excludes
+      buckets EARLIER).  The retry (or any later ``compact_index`` call)
+      finishes the retirement via the manifest's recorded ``sources``
+      before doing anything else.
+
+    Returns the target manifest (or ``{"compacted": False}`` when ≤1
+    committed batch remains after cleanup — nothing to do).
+    """
+    mdir = os.path.join(index_dir, "manifests")
+    # finish any interrupted retirement first: every compaction manifest
+    # lists its sources; a source still manifested is a leftover
+    for b in committed_batches(index_dir):
+        man = _read_manifest(index_dir, b)
+        if man is None:
+            continue    # retired moments ago by an earlier iteration
+        for src in man.get("sources", ()):
+            _retire_batch(index_dir, src)
+
+    committed = committed_batches(index_dir)
+    if len(committed) <= 1:
+        return {"compacted": False, "committed": committed}
+    # the closure of ORIGINAL batch ids this target covers: consumers that
+    # keyed side data by batch id (the stream twin's out_dir survivors)
+    # stay resolvable after the source manifests are retired
+    closure: set[str] = set()
+    for src in committed:
+        sman = _read_manifest(index_dir, src) or {}
+        closure.update(sman.get("sources_closure", (src,)))
+    src_hash = hashlib.sha256(
+        "\n".join(committed).encode()).hexdigest()[:16]
+    target = f"compact-{src_hash}"
+
+    obs = Observation()
+    dig = (_read_committed(spark, index_dir, "digests", _DIGESTS_SCHEMA,
+                           committed)
+           .observe(obs, F.count(F.lit(1)).alias("rows")))
+    dig.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "digests", f"batch={target}"))
+    _read_committed(spark, index_dir, "bands", _BANDS_SCHEMA, committed) \
+        .write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"batch={target}"))
+    (spark.read.parquet(os.path.join(index_dir, "bands", f"batch={target}"))
+     .groupBy("band", "band_hash")
+     .agg(F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(
+         os.path.join(index_dir, "band_stats", f"batch={target}")))
+
+    man = {"batch_id": target, "sources": committed,
+           "sources_closure": sorted(closure),
+           "rows": int(obs.get["rows"]),
+           "config_hash": f"compact:{src_hash}"}
+    tmp = os.path.join(mdir, f"{target}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh, sort_keys=True, indent=1)
+    os.replace(tmp, os.path.join(mdir, f"{target}.json"))
+    for src in committed:
+        _retire_batch(index_dir, src)
+    return man
+
+
+def _read_manifest(index_dir: str, batch_id: str) -> dict[str, Any] | None:
+    try:
+        with open(os.path.join(index_dir, "manifests",
+                               f"{batch_id}.json")) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def effective_committed_batches(index_dir: str) -> set[str]:
+    """Every batch id the index vouches for: directly committed ids plus
+    the sources-closure of compaction batches — the set consumers keying
+    SIDE data by original batch id (e.g. the stream twin's survivor dirs)
+    should resolve against, since compaction retires source manifests."""
+    out: set[str] = set()
+    for b in committed_batches(index_dir):
+        out.add(b)
+        man = _read_manifest(index_dir, b) or {}
+        out.update(man.get("sources_closure", ()))
+    return out
+
+
+def _retire_batch(index_dir: str, batch_id: str) -> None:
+    """Remove a batch's manifest FIRST (making it invisible), then its
+    data dirs (best-effort — an orphaned unmanifested dir is harmless)."""
+    import shutil
+
+    mpath = os.path.join(index_dir, "manifests", f"{batch_id}.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    for sub in ("digests", "bands", "band_stats"):
+        shutil.rmtree(os.path.join(index_dir, sub, f"batch={batch_id}"),
+                      ignore_errors=True)
 
 
 def dedup_and_commit(spark: SparkSession, docs: DataFrame, index_dir: str,

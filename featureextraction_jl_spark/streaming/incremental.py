@@ -41,8 +41,8 @@ from pyspark.sql.streaming import StreamingQuery
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
     commit_batch,
-    committed_batches,
     dedup_batch,
+    effective_committed_batches,
 )
 
 
@@ -59,10 +59,12 @@ def dedup_foreach_batch(index_dir: str, out_dir: str,
     """
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         bid = f"{batch_prefix}{int(epoch_id):012d}"
-        if bid in committed_batches(index_dir):
+        if bid in effective_committed_batches(index_dir):
             # replay of a fully-committed epoch (crash after commit,
             # before the sink checkpoint) — MUST NOT re-run dedup_batch:
-            # the index now contains this batch's own docs
+            # the index now contains this batch's own docs.  The CLOSURE
+            # check keeps this guard working after compact_index retires
+            # the epoch's own manifest into a compacted batch.
             return
         spark = batch_df.sparkSession
         surv = dedup_batch(spark, batch_df, index_dir, cfg)
@@ -100,11 +102,13 @@ def start_dedup_stream(spark: SparkSession, docs_path: str, schema: str,
 def read_stream_corpus(spark: SparkSession, out_dir: str, index_dir: str,
                        batch_prefix: str = "mb") -> DataFrame:
     """The deduped corpus the stream has built so far: the union of
-    survivor dirs whose batch is COMMITTED in the index — the same
-    explicit-path, manifested-only read discipline as the index itself
-    (a crashed epoch's partial survivors are invisible)."""
-    batches = [b for b in committed_batches(index_dir)
-               if b.startswith(batch_prefix)]
+    survivor dirs whose batch is COMMITTED in the index (directly, or via
+    a compaction batch's sources closure — compact_index retires source
+    manifests but the survivor parquet stays keyed by original epoch) —
+    the same explicit-path, manifested-only read discipline as the index
+    itself (a crashed epoch's partial survivors are invisible)."""
+    batches = sorted(b for b in effective_committed_batches(index_dir)
+                     if b.startswith(batch_prefix))
     paths = [os.path.join(out_dir, f"batch={b}") for b in batches]
     if not paths:
         raise ValueError(

@@ -26,6 +26,7 @@ from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
     commit_batch,
     committed_batches,
+    compact_index,
     dedup_batch,
 )
 from featureextraction_jl_spark.session import get_spark
@@ -33,12 +34,14 @@ from featureextraction_jl_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--docs", required=True,
-                    help="parquet of the incoming batch")
+    ap.add_argument("--docs", help="parquet of the incoming batch")
     ap.add_argument("--index", required=True, help="dedup index directory")
-    ap.add_argument("--out", required=True,
+    ap.add_argument("--out",
                     help="output parquet dir for the batch's survivors")
-    ap.add_argument("--batch-id", required=True)
+    ap.add_argument("--batch-id")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact all committed batches into one and exit "
+                         "(maintenance; --docs/--out/--batch-id unused)")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--num-hashes", type=int, default=32)
@@ -49,6 +52,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dry-run", action="store_true",
                     help="write survivors but do not commit to the index")
     args = ap.parse_args(argv)
+    if args.compact:
+        spark = get_spark("dedup-index-compact")
+        json.dump(compact_index(spark, args.index), sys.stdout,
+                  sort_keys=True)
+        print()
+        return
+    for req in ("docs", "out", "batch_id"):
+        if getattr(args, req) is None:
+            ap.error(f"--{req.replace('_', '-')} is required "
+                     f"(unless --compact)")
 
     cfg = IncrementalDedupConfig(
         id_col=args.id_col, text_col=args.text_col,

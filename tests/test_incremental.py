@@ -314,3 +314,96 @@ def test_read_stream_corpus_requires_committed_batches(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed"):
         read_stream_corpus(spark, str(tmp_path / "out"),
                            str(tmp_path / "idx"))
+
+
+# ---------------------------------------------------------------------------
+# Index compaction
+# ---------------------------------------------------------------------------
+
+def test_compact_index_preserves_dedup_semantics(spark, tmp_path):
+    from featureextraction_jl_spark.operators.incremental import (
+        compact_index, effective_committed_batches)
+
+    idx = str(tmp_path / "idx")
+    dedup_and_commit(spark, _docs(spark, [(0, FAM_A * 2),
+                                          (1, _unique_text(1))]),
+                     idx, "b1", CFG)
+    dedup_and_commit(spark, _docs(spark, [(10, FAM_B * 2),
+                                          (11, _unique_text(11))]),
+                     idx, "b2", CFG)
+    probe = _docs(spark, [(20, FAM_A * 5),        # near-dup of corpus b1
+                          (21, FAM_B * 7),        # near-dup of corpus b2
+                          (22, _unique_text(1)),  # exact-dup of corpus b1
+                          (23, _unique_text(23))])
+    before = _ids(dedup_batch(spark, probe, idx, CFG))
+    assert before == {23}
+
+    man = compact_index(spark, idx)
+    assert man["sources"] == ["b1", "b2"]
+    assert committed_batches(idx) == [man["batch_id"]]
+    assert man["batch_id"].startswith("compact-") and man["rows"] == 4
+    assert effective_committed_batches(idx) == {man["batch_id"], "b1", "b2"}
+    assert _ids(dedup_batch(spark, probe, idx, CFG)) == before
+
+    # nothing left to compact; and re-commit of a retired id is refused
+    assert compact_index(spark, idx)["compacted"] is False
+    again = commit_batch(_docs(spark, [(0, FAM_A * 2)]), idx, "b1", CFG)
+    assert again["already_committed"] is True and again["compacted"] is True
+
+
+def test_compact_index_retry_finishes_interrupted_retirement(spark,
+                                                             tmp_path):
+    """Simulate a crash between target manifest and source retirement by
+    restoring one source after a successful compaction: reads must stay
+    correct under the duplication, and the next compact_index call must
+    retire the leftover without creating a second target."""
+    import shutil
+
+    from featureextraction_jl_spark.operators.incremental import (
+        compact_index)
+
+    idx = str(tmp_path / "idx")
+    dedup_and_commit(spark, _docs(spark, [(0, _unique_text(0))]), idx,
+                     "b1", CFG)
+    dedup_and_commit(spark, _docs(spark, [(1, _unique_text(1))]), idx,
+                     "b2", CFG)
+    saved = str(tmp_path / "saved")
+    shutil.copytree(idx, saved)
+    man = compact_index(spark, idx)
+    # resurrect b1 (manifest + data dirs) = the unfinished crash window
+    shutil.copy(os.path.join(saved, "manifests", "b1.json"),
+                os.path.join(idx, "manifests", "b1.json"))
+    for sub in ("digests", "bands", "band_stats"):
+        shutil.copytree(os.path.join(saved, sub, "batch=b1"),
+                        os.path.join(idx, sub, "batch=b1"))
+    assert set(committed_batches(idx)) == {man["batch_id"], "b1"}
+
+    # duplicated index entries are absorbed: an exact dup is dropped once
+    probe = _docs(spark, [(10, _unique_text(0)), (11, _unique_text(11))])
+    assert _ids(dedup_batch(spark, probe, idx, CFG)) == {11}
+
+    out = compact_index(spark, idx)
+    assert out["compacted"] is False
+    assert committed_batches(idx) == [man["batch_id"]]
+
+
+def test_stream_survives_compaction(spark, tmp_path):
+    """After compacting a stream-fed index: read_stream_corpus still
+    resolves epochs via the sources closure, and a replayed retired epoch
+    stays a noop."""
+    from featureextraction_jl_spark.operators.incremental import (
+        compact_index)
+    from featureextraction_jl_spark.streaming.incremental import (
+        dedup_foreach_batch, read_stream_corpus)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    fn = dedup_foreach_batch(idx, out, CFG)
+    fn(_docs(spark, [(0, FAM_A * 2), (1, _unique_text(1))]), 0)
+    fn(_docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))]), 1)
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
+
+    compact_index(spark, idx)
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
+    fn(_docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))]), 1)  # replay
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
