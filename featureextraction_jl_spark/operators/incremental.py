@@ -277,13 +277,16 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
         raise ValueError(
             f"batch_id {batch_id!r} must match {_BATCH_ID_RE.pattern} "
             f"(it becomes a directory name)")
+    if batch_id.startswith("compact-"):
+        raise ValueError(
+            "batch ids starting with 'compact-' are reserved for "
+            "compact_index targets")
     _check_index_config(index_dir, cfg, create=True)
     chash = _config_hash(cfg)
     mdir = os.path.join(index_dir, "manifests")
     mpath = os.path.join(mdir, f"{batch_id}.json")
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            man = json.load(fh)
+    man = _read_manifest(index_dir, batch_id)
+    if man is not None:
         if man.get("config_hash") != chash:
             raise ValueError(
                 f"batch {batch_id!r} is already committed with "
@@ -291,12 +294,21 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
                 f"hashes to {chash!r} — refusing to silently skip a "
                 f"different commit")
         return {**man, "already_committed": True}
-    if batch_id in effective_committed_batches(index_dir):
+    retired = _retired_config_hashes(index_dir)
+    if batch_id in retired:
         # the id's own manifest was retired into a compaction batch; its
         # rows are already in the index — recommitting would duplicate
-        # them under a now-ambiguous id
+        # them under a now-ambiguous id.  The compaction manifest carries
+        # each source's config hash, so the mismatch contract survives
+        # retirement (None only for pre-closure-era manifests).
+        rhash = retired[batch_id]
+        if rhash is not None and rhash != chash:
+            raise ValueError(
+                f"batch {batch_id!r} was committed (then compacted) with "
+                f"config_hash={rhash!r}; this config hashes to {chash!r} "
+                f"— refusing to silently skip a different commit")
         return {"batch_id": batch_id, "already_committed": True,
-                "compacted": True}
+                "compacted": True, "config_hash": rhash}
 
     id_c, txt = cfg.id_col, cfg.text_col
     d1, d2 = content_digests(txt)
@@ -350,8 +362,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
     so any width inflation from a previous crash-window is squeezed back
     to exact counts.
 
-    Crash-safe and idempotent, single-writer (do not run concurrently
-    with commits):
+    Crash-safe and idempotent; EXCLUSIVE — do not run concurrently with
+    commits OR with readers.  Compaction is the only operation that ever
+    DELETES index data, and ``dedup_batch`` plans embed explicit source
+    paths at plan-build time (and are lazy until the caller materializes),
+    so a dir retired mid-read fails that reader's scan.  Run it in the
+    maintenance window between batches — e.g. after the stream's
+    ``availableNow`` drain terminates (the interplay test does exactly
+    this); a failed reader is loud (PATH_NOT_FOUND), never silently
+    wrong.  By-case safety:
 
     * crash before the target manifest: the target dirs are unmanifested
       garbage (invisible); retry rewrites them (deterministic id).
@@ -368,8 +387,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
     """
     mdir = os.path.join(index_dir, "manifests")
     # finish any interrupted retirement first: every compaction manifest
-    # lists its sources; a source still manifested is a leftover
+    # lists its sources; a source still manifested is a leftover.  Only
+    # compact-* manifests can carry sources — don't open the (possibly
+    # thousands of) per-epoch manifests
     for b in committed_batches(index_dir):
+        if not b.startswith("compact-"):
+            continue
         man = _read_manifest(index_dir, b)
         if man is None:
             continue    # retired moments ago by an earlier iteration
@@ -379,13 +402,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
     committed = committed_batches(index_dir)
     if len(committed) <= 1:
         return {"compacted": False, "committed": committed}
-    # the closure of ORIGINAL batch ids this target covers: consumers that
-    # keyed side data by batch id (the stream twin's out_dir survivors)
-    # stay resolvable after the source manifests are retired
-    closure: set[str] = set()
+    # the closure of ORIGINAL batch ids this target covers (with each
+    # one's config hash): consumers that keyed side data by batch id (the
+    # stream twin's out_dir survivors) stay resolvable after the source
+    # manifests are retired, and commit_batch can still enforce its
+    # config-mismatch contract for retired ids
+    closure: dict[str, Any] = {}
     for src in committed:
         sman = _read_manifest(index_dir, src) or {}
-        closure.update(sman.get("sources_closure", (src,)))
+        if "sources_closure" in sman:   # src is itself a compaction
+            nested = sman.get("source_config_hashes", {})
+            for s in sman["sources_closure"]:
+                closure[s] = nested.get(s)
+        else:
+            closure[src] = sman.get("config_hash")
     src_hash = hashlib.sha256(
         "\n".join(committed).encode()).hexdigest()[:16]
     target = f"compact-{src_hash}"
@@ -407,7 +437,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
 
     man = {"batch_id": target, "sources": committed,
            "sources_closure": sorted(closure),
+           "source_config_hashes": {k: closure[k] for k in sorted(closure)},
            "rows": int(obs.get["rows"]),
+           "compacted": True,
            "config_hash": f"compact:{src_hash}"}
     tmp = os.path.join(mdir, f"{target}.json.tmp")
     with open(tmp, "w") as fh:
@@ -427,16 +459,30 @@ def _read_manifest(index_dir: str, batch_id: str) -> dict[str, Any] | None:
         return None
 
 
+def _retired_config_hashes(index_dir: str) -> dict[str, Any]:
+    """{retired batch id -> its original config hash (or None for
+    pre-closure-era manifests)} from compaction manifests.  Only
+    ``compact-*`` manifests are opened — every other id contributes
+    nothing, so this stays O(compactions), not O(batches), per call
+    (a streaming index commits thousands of epoch manifests)."""
+    out: dict[str, Any] = {}
+    for b in committed_batches(index_dir):
+        if not b.startswith("compact-"):
+            continue
+        man = _read_manifest(index_dir, b) or {}
+        hashes = man.get("source_config_hashes", {})
+        for src in man.get("sources_closure", ()):
+            out[src] = hashes.get(src)
+    return out
+
+
 def effective_committed_batches(index_dir: str) -> set[str]:
     """Every batch id the index vouches for: directly committed ids plus
     the sources-closure of compaction batches — the set consumers keying
     SIDE data by original batch id (e.g. the stream twin's survivor dirs)
     should resolve against, since compaction retires source manifests."""
-    out: set[str] = set()
-    for b in committed_batches(index_dir):
-        out.add(b)
-        man = _read_manifest(index_dir, b) or {}
-        out.update(man.get("sources_closure", ()))
+    out = set(committed_batches(index_dir))
+    out.update(_retired_config_hashes(index_dir))
     return out
 
 

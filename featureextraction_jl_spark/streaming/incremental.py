@@ -59,13 +59,36 @@ def dedup_foreach_batch(index_dir: str, out_dir: str,
     """
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         bid = f"{batch_prefix}{int(epoch_id):012d}"
-        if bid in effective_committed_batches(index_dir):
-            # replay of a fully-committed epoch (crash after commit,
-            # before the sink checkpoint) — MUST NOT re-run dedup_batch:
-            # the index now contains this batch's own docs.  The CLOSURE
-            # check keeps this guard working after compact_index retires
-            # the epoch's own manifest into a compacted batch.
-            return
+        eff = effective_committed_batches(index_dir)
+        newest = max((int(b[len(batch_prefix):]) for b in eff
+                      if b.startswith(batch_prefix)
+                      and b[len(batch_prefix):].isdigit()), default=-1)
+        if bid in eff:
+            if int(epoch_id) == newest:
+                # replay of the LAST committed epoch (crash after commit,
+                # before the sink checkpoint) — MUST NOT re-run
+                # dedup_batch: the index now contains this batch's own
+                # docs.  The CLOSURE check keeps this working after
+                # compact_index retires the epoch's own manifest.
+                return
+            # an OLDER committed epoch re-presenting means the sink
+            # checkpoint was reset/deleted or a second stream shares this
+            # index+prefix: its data is NOT a replay of what was
+            # committed under this id — silently skipping would drop the
+            # new documents with no trace
+            raise RuntimeError(
+                f"dedup stream epoch collision: epoch {int(epoch_id)} is "
+                f"already committed as {bid!r} but the newest committed "
+                f"epoch is {newest} — the stream checkpoint was reset, or "
+                f"two streams share index {index_dir!r} with prefix "
+                f"{batch_prefix!r}.  Use a fresh batch_prefix (or a fresh "
+                f"index) for a re-ingest; do not reuse epoch ids")
+        if int(epoch_id) <= newest:
+            raise RuntimeError(
+                f"dedup stream epoch regression: epoch {int(epoch_id)} is "
+                f"not committed yet the index has committed up to epoch "
+                f"{newest} under prefix {batch_prefix!r} — checkpoint and "
+                f"index disagree; refusing to interleave")
         spark = batch_df.sparkSession
         surv = dedup_batch(spark, batch_df, index_dir, cfg)
         dest = os.path.join(out_dir, f"batch={bid}")

@@ -28,6 +28,7 @@ from featureextraction_jl_spark.operators.incremental import (
     committed_batches,
     compact_index,
     dedup_batch,
+    effective_committed_batches,
 )
 from featureextraction_jl_spark.session import get_spark
 
@@ -68,6 +69,16 @@ def main(argv: list[str] | None = None) -> None:
         num_hashes=args.num_hashes, bands=args.bands,
         shingle_k=args.shingle_k,
         max_bucket=args.max_bucket or None)
+    if args.batch_id in effective_committed_batches(args.index):
+        # retried run of a batch whose commit already landed: recomputing
+        # now would see this batch's own docs in the index, dedup them ALL
+        # away, and overwrite --out with an empty frame (the same replay
+        # trap streaming/incremental.py guards) — leave --out untouched
+        json.dump({"batch_id": args.batch_id, "already_committed": True,
+                   "dry_run": bool(args.dry_run)}, sys.stdout,
+                  sort_keys=True)
+        print()
+        return
     spark = get_spark(f"dedup-increment-{args.batch_id}")
     docs = spark.read.parquet(args.docs)
     rows_in = docs.count()

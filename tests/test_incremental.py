@@ -220,6 +220,12 @@ def test_cli_job_dry_run_then_commit(spark, tmp_path):
     with open(os.path.join(idx, "manifests", "b1.json")) as fh:
         assert json.load(fh)["rows"] == 2
 
+    # retried run of the committed batch: the CLI-level replay trap — a
+    # recompute would dedup the batch against its own committed rows and
+    # overwrite --out with an empty frame; the guard must leave it intact
+    main(base + ["--out", out1])
+    assert _ids(spark.read.parquet(out1)) == {0, 2}
+
     # second batch sees the committed index
     docs2 = str(tmp_path / "docs2")
     _docs(spark, [(10, FAM_A * 5), (11, _unique_text(11))]) \
@@ -349,6 +355,16 @@ def test_compact_index_preserves_dedup_semantics(spark, tmp_path):
     assert compact_index(spark, idx)["compacted"] is False
     again = commit_batch(_docs(spark, [(0, FAM_A * 2)]), idx, "b1", CFG)
     assert again["already_committed"] is True and again["compacted"] is True
+    # the config-mismatch contract survives retirement (the compaction
+    # manifest carries per-source config hashes)
+    with pytest.raises(ValueError, match="then compacted"):
+        commit_batch(_docs(spark, [(0, FAM_A * 2)]), idx, "b1",
+                     IncrementalDedupConfig(num_hashes=16, bands=4,
+                                            shingle_k=4, max_bucket=9))
+    # compact-* ids are reserved for compaction targets
+    with pytest.raises(ValueError, match="reserved"):
+        commit_batch(_docs(spark, [(50, _unique_text(50))]), idx,
+                     "compact-feedbeef", CFG)
 
 
 def test_compact_index_retry_finishes_interrupted_retirement(spark,
@@ -407,3 +423,23 @@ def test_stream_survives_compaction(spark, tmp_path):
     assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
     fn(_docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))]), 1)  # replay
     assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
+
+
+def test_stream_epoch_collision_and_regression_raise(spark, tmp_path):
+    """A checkpoint reset (or two streams sharing index+prefix) presents
+    epoch ids that disagree with the committed history: only a replay of
+    the NEWEST committed epoch is a legitimate noop — anything older must
+    refuse loudly rather than silently drop the new micro-batch."""
+    from featureextraction_jl_spark.streaming.incremental import (
+        dedup_foreach_batch)
+
+    idx = str(tmp_path / "idx")
+    fn = dedup_foreach_batch(idx, str(tmp_path / "out"), CFG)
+    fn(_docs(spark, [(0, _unique_text(0))]), 0)
+    fn(_docs(spark, [(1, _unique_text(1))]), 1)
+    fn(_docs(spark, [(1, _unique_text(1))]), 1)   # newest replay: noop
+    with pytest.raises(RuntimeError, match="collision"):
+        fn(_docs(spark, [(2, _unique_text(2))]), 0)
+    fn(_docs(spark, [(3, _unique_text(3))]), 5)   # gaps forward are fine
+    with pytest.raises(RuntimeError, match="regression"):
+        fn(_docs(spark, [(4, _unique_text(4))]), 3)
