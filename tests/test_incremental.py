@@ -443,3 +443,41 @@ def test_stream_epoch_collision_and_regression_raise(spark, tmp_path):
     fn(_docs(spark, [(3, _unique_text(3))]), 5)   # gaps forward are fine
     with pytest.raises(RuntimeError, match="regression"):
         fn(_docs(spark, [(4, _unique_text(4))]), 3)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_multi_batch_equivalence(spark, tmp_path, seed):
+    """Randomized 3-batch property: incremental survivors over committed
+    batches must equal the one-shot pipeline over the concatenation.
+    Corpus mixes periodic near-dup families (deterministic LSH collision),
+    byte-exact copies (within and across batches), unique texts, NULLs,
+    empty and sub-k strings; ids are batch-monotone."""
+    rnd = random.Random(seed)
+    fams = [f"family {f} periodic body with several words in it " for f in
+            range(3)]
+    all_rows, batches, next_id = [], [], 0
+    for _ in range(3):
+        rows = []
+        for _ in range(rnd.randrange(8, 15)):
+            kind = rnd.random()
+            if kind < 0.3:
+                t = rnd.choice(fams) * rnd.randrange(2, 6)
+            elif kind < 0.45 and all_rows:
+                t = rnd.choice(all_rows)[1]       # exact copy of anything
+            elif kind < 0.55:
+                t = rnd.choice([None, "", "ab", "xyz"])
+            else:
+                t = _unique_text(next_id)
+            rows.append((next_id, t))
+            next_id += 1
+        batches.append(rows)
+        all_rows.extend(rows)
+
+    idx = str(tmp_path / "idx")
+    surv: set[int] = set()
+    for i, rows in enumerate(batches):
+        s, _ = dedup_and_commit(spark, _docs(spark, rows), idx,
+                                f"b{i}", CFG)
+        surv |= _ids(s)
+    want = _ids(_one_shot(_docs(spark, all_rows)))
+    assert surv == want
