@@ -481,3 +481,28 @@ def test_random_multi_batch_equivalence(spark, tmp_path, seed):
         surv |= _ids(s)
     want = _ids(_one_shot(_docs(spark, all_rows)))
     assert surv == want
+
+
+def test_dedup_batch_plan_invariants(spark, tmp_path):
+    """Physical-plan shape of the batch-vs-index composition: the heavy-
+    bucket exclusion must reach the index side as a BROADCAST anti-join
+    (the whole point of band_stats is to avoid a width window / shuffle
+    over the big band index), and nothing in the plan may degenerate to a
+    cartesian product."""
+    idx = str(tmp_path / "idx")
+    dedup_and_commit(spark, _docs(spark, [(0, FAM_A * 2),
+                                          (1, _unique_text(1))]),
+                     idx, "b1", CFG)
+    probe = _docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))])
+    plan = (dedup_batch(spark, probe, idx, CFG)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+
+    assert "CartesianProduct" not in plan
+    # the tiny heavy-bucket list is hint-forced broadcast (F.broadcast),
+    # AQE-independent: a LeftAnti BroadcastHashJoin on the band keys
+    assert re.search(r"BroadcastHashJoin \[band#\d+, band_hash#\d+L?\], "
+                     r"\[band#\d+, band_hash#\d+L?\], LeftAnti", plan)
+    # the corpus band index is scanned, never width-windowed: the ONLY
+    # Window operator is the batch-side max_bucket cap
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
