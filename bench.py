@@ -74,6 +74,31 @@ def bench_flagship(spark, tdir: str, sdir: str,
     return time.monotonic() - t0, n_turns
 
 
+def bench_incremental(spark, sf_dir: str) -> float:
+    """Incremental batch-over-index dedup (SURVEY §2 F13), end-to-end:
+    documents split by id parity; batch 1 is dedup'd and COMMITTED to a
+    fresh index (real parquet index writes included), batch 2 is dedup'd
+    AGAINST it (digest anti-join + band cross-join + anchored CC) and
+    materialized through the noop sink.  Fresh index per rep."""
+    import shutil
+    import tempfile
+
+    from featureextraction_jl_spark.operators.incremental import (
+        dedup_and_commit,
+        dedup_batch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    idx = tempfile.mkdtemp(prefix="bench_incr_")
+    try:
+        t0 = time.monotonic()
+        dedup_and_commit(spark, docs.filter("doc_id % 2 = 0"), idx, "b1")
+        materialize(dedup_batch(spark, docs.filter("doc_id % 2 = 1"), idx))
+        return time.monotonic() - t0
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def headline_queries(sf_dir: str):
     import __spark_entry__ as entrymod
 
@@ -137,14 +162,18 @@ def main() -> None:
             t0 = time.monotonic()
             materialize(fn(spark, sf_dir))
             samples.setdefault(name, []).append(round(time.monotonic() - t0, 3))
+        if suite:
+            samples.setdefault("incremental_dedup", []).append(
+                round(bench_incremental(spark, sf_dir), 3))
 
     timings = {k: min(v) for k, v in samples.items()}
     flag_best = timings["flagship_feature_job"]
-    # flagship_windowed (added round 5) is reported per-query but EXCLUDED
-    # from the headline total so `value` stays suite-comparable with every
-    # earlier round's JSON (bench_guard compares per-query minima; the
-    # round-over-round tables in BASELINE.md compare the total).
-    excluded = ["flagship_windowed"]
+    # flagship_windowed and incremental_dedup (added round 5) are reported
+    # per-query but EXCLUDED from the headline total so `value` stays
+    # suite-comparable with every earlier round's JSON (bench_guard
+    # compares per-query minima; the round-over-round tables in BASELINE.md
+    # compare the total).
+    excluded = ["flagship_windowed", "incremental_dedup"]
     total = round(sum(v for k, v in timings.items() if k not in excluded), 3)
     print(json.dumps({
         "metric": "headline query wall time (flagship feature job + operator "
