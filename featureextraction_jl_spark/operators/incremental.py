@@ -12,20 +12,40 @@ document — and dedups each incoming batch against it:
           -> within-batch LSH self-join pairs
           -> batch bands JOIN index bands     (cross-batch candidates)
           -> connected components over BOTH pair sets (anchored survivors)
-          -> survivors; commit_batch appends their digests+bands
+          -> survivors published; commit_batch appends the EXACT-stage
+             rows' digests+bands (survivors AND dropped near-dups)
 
-Survivor rule: a component containing any corpus document keeps the corpus
-document (it is already accepted — nothing new to emit), otherwise the
-min-id new document survives.  Components run over the UNION of
-within-batch and cross-batch pairs, so transitive merges across the
-batch/corpus boundary are honored: new A ~ new B ~ corpus C drops BOTH A
-and B even though A never shares a band with C.  When document ids are
-globally unique AND batch-monotone (later batches get larger ids — the
-natural layout for crawl snapshots), the surviving corpus equals what a
-one-shot ``exact_dedup`` + ``minhash_lsh_pairs`` + ``near_dedup_survivors``
-over the concatenation of all batches would keep; pinned by
-tests/test_incremental.py.  Ids MUST be globally unique across batches —
-a new doc reusing a committed id would be silently treated as corpus.
+Survivor rule: a component containing any indexed document keeps nothing
+new (its cluster's survivor was already published), otherwise the min-id
+new document survives.  Components run over the UNION of within-batch and
+cross-batch pairs, so transitive merges across the batch/corpus boundary
+are honored: new A ~ new B ~ indexed C drops BOTH A and B even though A
+never shares a band with C.
+
+The index records EVERY doc that passes the exact stage — including docs
+later dropped as near-dups — not just survivors.  That is what makes the
+equivalence exact: a future doc whose only near-dup link is to a DROPPED
+doc (or whose bytes equal a dropped doc's) must still dedup, because the
+dropped doc's cluster has a published survivor.  Indexing survivors only
+would under-dedup through exactly those paths (review finding, round 5);
+the cost is index rows for dropped near-dups (~the corpus' near-dup rate).
+
+Equivalence contract (pinned by tests/test_incremental.py): with globally
+unique, batch-monotone ids (later batches get larger ids — the natural
+layout for crawl snapshots), the set of surviving NEW docs per batch
+equals what a one-shot ``exact_dedup`` + ``minhash_lsh_pairs`` +
+``near_dedup_survivors`` over the concatenation would keep, with two
+honest caveats:
+ * retroactive merges: a new doc bridging two ALREADY-PUBLISHED clusters
+   is dropped (as one-shot would), but the two earlier survivors both
+   stay published — one-shot would have kept only one.  Inherent to any
+   incremental publish; no published row is ever retracted.
+ * ``max_bucket`` applies per side (batch window + corpus band_stats),
+   not to the combined width — a bucket straddling the threshold can be
+   capped on one side only, diverging from the one-shot guard near the
+   cap.  Far from the cap (the normal regime) the guards agree.
+Ids MUST be globally unique across batches — a new doc reusing a
+committed id would be silently treated as corpus.
 
 Index layout (all paths under ``index_dir``)::
 
@@ -160,22 +180,32 @@ def _read_committed(spark: SparkSession, index_dir: str, sub: str,
     return spark.read.parquet(*paths)
 
 
-def dedup_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
-                cfg: IncrementalDedupConfig = IncrementalDedupConfig(),
-                ) -> DataFrame:
-    """Rows of ``docs`` that survive exact + near dedup BOTH within the
-    batch and against every committed batch in ``index_dir``.
+def _chk(df: DataFrame) -> DataFrame:
+    """Eager checkpoint — RELIABLE ``checkpoint()`` when the session has a
+    checkpoint dir set (cluster path, survives executor loss), else
+    ``localCheckpoint()``; the same policy as ``connected_components``."""
+    sc = df.sparkSession.sparkContext
+    return df.checkpoint(eager=True) if sc.getCheckpointDir() is not None \
+        else df.localCheckpoint(eager=True)
 
-    Lazy; the caller materializes (the connected-components step inside
-    runs jobs when the plan first executes).  With no committed batches
-    (or a missing index dir) this degrades to the plain one-shot pipeline:
-    ``exact_dedup`` + ``minhash_lsh_pairs`` + ``near_dedup_survivors``.
-    """
-    _check_index_config(index_dir, cfg, create=False)
+
+def _prepare(spark: SparkSession, docs: DataFrame, index_dir: str,
+             cfg: IncrementalDedupConfig,
+             ) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Shared exact stage + banding, each materialized ONCE.
+
+    Returns ``(indexable, banded, committed)``: ``indexable`` is the batch
+    after within-batch exact dedup and the cross-index digest anti-join —
+    exactly the rows :func:`commit_batch` records; ``banded`` is its
+    UNCAPPED MinHash banding.  Both are eagerly checkpointed (see
+    :func:`_chk`) because between them they feed every downstream consumer
+    — the pairs self-join, the cross-index join, the CC id set, the
+    survivor semi-join, and the index writes — and without the checkpoint
+    the shingle -> signature pipeline re-executes up to 3x per batch
+    (round-5 review finding)."""
     id_c, txt = cfg.id_col, cfg.text_col
     docs = exact_dedup(docs, txt, id_c)
     committed = committed_batches(index_dir)
-
     if committed:
         # byte-exact vs corpus: anti-join on the paired digest
         idx_dig = _read_committed(spark, index_dir, "digests",
@@ -186,20 +216,26 @@ def dedup_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
                        how="left_anti")
                  .select(id_c))
         docs = docs.join(fresh, on=id_c, how="left_semi")
+    docs = _chk(docs)
+    banded = _chk(minhash_bands(docs, txt, id_c, cfg.num_hashes, cfg.bands,
+                                cfg.shingle_k))
+    return docs, banded, committed
 
-    # ONE banding of the batch feeds both the within-batch self-join and
-    # the cross-batch index join; the batch-side max_bucket window is
-    # likewise computed once here (so lsh_pairs_from_bands gets
-    # max_bucket=None — already applied)
-    banded = minhash_bands(docs, txt, id_c, cfg.num_hashes, cfg.bands,
-                           cfg.shingle_k)
+
+def _survivors(spark: SparkSession, docs: DataFrame, banded: DataFrame,
+               committed: list[str], index_dir: str,
+               cfg: IncrementalDedupConfig) -> DataFrame:
+    """Near-dedup ``docs`` (exact-stage output) against itself and the
+    committed index, from its prepared banding."""
+    id_c = cfg.id_col
+    capped = banded
     if cfg.max_bucket is not None:
         wb = Window.partitionBy("band", "band_hash")
-        banded = (banded
+        capped = (banded
                   .withColumn("__w", F.count(F.lit(1)).over(wb))
                   .filter(F.col("__w") <= cfg.max_bucket)
                   .drop("__w"))
-    pairs = lsh_pairs_from_bands(banded, id_c, max_bucket=None)
+    pairs = lsh_pairs_from_bands(capped, id_c, max_bucket=None)
 
     if not committed:
         return near_dedup_survivors(docs, pairs, id_c)
@@ -217,20 +253,41 @@ def dedup_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
                  .select("band", "band_hash"))
         idx_bands = idx_bands.join(F.broadcast(heavy),
                                    on=["band", "band_hash"], how="left_anti")
-    cross = (banded.alias("n")
-             .join(idx_bands.alias("c"), on=["band", "band_hash"],
-                   how="inner")
-             .select(F.col(f"n.{id_c}").alias("id_a"),
-                     F.col("c.id").alias("id_b"))
-             .distinct())
+    # checkpointed: cross (and corpus_hits derived from it) is consumed by
+    # the CC edge set, the CC label init, AND the survivor flags — without
+    # this the index-side join re-executes per consumer
+    cross = _chk(capped.alias("n")
+                 .join(idx_bands.alias("c"), on=["band", "band_hash"],
+                       how="inner")
+                 .select(F.col(f"n.{id_c}").alias("id_a"),
+                         F.col("c.id").alias("id_b"))
+                 .distinct())
 
-    # anchored components: corpus nodes enter only via cross pairs
+    # anchored components: indexed nodes enter only via cross pairs
     corpus_hits = cross.select(F.col("id_b").alias(id_c)).distinct()
     all_pairs = pairs.unionByName(cross)
     ids = docs.select(id_c).unionByName(corpus_hits)
     cc = connected_components(all_pairs, ids, id_c)
     keep = anchored_survivor_ids(cc, corpus_hits, id_c)
     return docs.join(keep, on=id_c, how="left_semi")
+
+
+def dedup_batch(spark: SparkSession, docs: DataFrame, index_dir: str,
+                cfg: IncrementalDedupConfig = IncrementalDedupConfig(),
+                ) -> DataFrame:
+    """Rows of ``docs`` that survive exact + near dedup BOTH within the
+    batch and against every committed batch in ``index_dir``.
+
+    EAGER: the exact stage and banding are checkpointed, and the
+    connected-components step runs its Spark jobs (per-round convergence
+    probes), DURING this call — do not schedule around laziness; only the
+    final survivor semi-join remains lazy in the returned frame.  With no committed batches (or a missing
+    index dir) this equals the plain one-shot pipeline: ``exact_dedup`` +
+    ``minhash_lsh_pairs`` + ``near_dedup_survivors``.
+    """
+    _check_index_config(index_dir, cfg, create=False)
+    pdocs, banded, committed = _prepare(spark, docs, index_dir, cfg)
+    return _survivors(spark, pdocs, banded, committed, index_dir, cfg)
 
 
 def anchored_survivor_ids(cc: DataFrame, corpus_ids: DataFrame,
@@ -254,25 +311,11 @@ def anchored_survivor_ids(cc: DataFrame, corpus_ids: DataFrame,
             .select(F.col("__keep").alias(id_col)))
 
 
-def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
-                 cfg: IncrementalDedupConfig = IncrementalDedupConfig(),
-                 ) -> dict[str, Any]:
-    """Append ``docs`` to the index under ``batch_id`` and return the
-    commit manifest.
-
-    ``docs`` must be the SURVIVORS of :func:`dedup_batch` (commit does not
-    re-verify — committing undeduped rows poisons later batches' survivor
-    choice, though never correctness of "is X a dup of the corpus").
-    Data dirs first (mode=overwrite, so a crashed commit is retryable),
-    manifest last.  Idempotent: an existing manifest for ``batch_id`` with
-    a matching config hash returns immediately with
-    ``already_committed=True``; a config mismatch raises.
-
-    NULL-text docs yield no shingles, so they store a digest but no band
-    rows — exactly the one-shot pipeline's semantics (they exact-dedup but
-    are never near-dup candidates); short/empty text yields one truncated
-    gram, same as ``minhash_lsh_pairs``.
-    """
+def _check_committed(index_dir: str, batch_id: str,
+                     cfg: IncrementalDedupConfig) -> dict[str, Any] | None:
+    """Validate ``batch_id`` and return the already-committed manifest if
+    one exists (directly, or retired into a compaction) — else None.
+    A config-hash mismatch with the recorded commit raises."""
     if not _BATCH_ID_RE.match(batch_id):
         raise ValueError(
             f"batch_id {batch_id!r} must match {_BATCH_ID_RE.pattern} "
@@ -281,10 +324,7 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
         raise ValueError(
             "batch ids starting with 'compact-' are reserved for "
             "compact_index targets")
-    _check_index_config(index_dir, cfg, create=True)
     chash = _config_hash(cfg)
-    mdir = os.path.join(index_dir, "manifests")
-    mpath = os.path.join(mdir, f"{batch_id}.json")
     man = _read_manifest(index_dir, batch_id)
     if man is not None:
         if man.get("config_hash") != chash:
@@ -309,7 +349,15 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
                 f"— refusing to silently skip a different commit")
         return {"batch_id": batch_id, "already_committed": True,
                 "compacted": True, "config_hash": rhash}
+    return None
 
+
+def _commit_prepared(docs: DataFrame, banded: DataFrame, index_dir: str,
+                     batch_id: str, cfg: IncrementalDedupConfig,
+                     ) -> dict[str, Any]:
+    """Write ``docs``'s digests + ``banded`` (both from :func:`_prepare`)
+    under ``batch_id`` and manifest the commit (data first, manifest
+    last)."""
     id_c, txt = cfg.id_col, cfg.text_col
     d1, d2 = content_digests(txt)
     obs = Observation()
@@ -318,9 +366,7 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
            .observe(obs, F.count(F.lit(1)).alias("rows")))
     dig.write.mode("overwrite").parquet(
         os.path.join(index_dir, "digests", f"batch={batch_id}"))
-    bnd = (minhash_bands(docs, txt, id_c, cfg.num_hashes, cfg.bands,
-                         cfg.shingle_k)
-           .select(F.col(id_c).alias("id"), "band", "band_hash"))
+    bnd = banded.select(F.col(id_c).alias("id"), "band", "band_hash")
     bnd.write.mode("overwrite").parquet(
         os.path.join(index_dir, "bands", f"batch={batch_id}"))
     # additive per-batch counts so readers can bound corpus bucket widths
@@ -337,17 +383,53 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
 
     man = {
         "batch_id": batch_id,
-        "config_hash": chash,
+        "config_hash": _config_hash(cfg),
         "rows": int(obs.get["rows"]),
         "band_rows": int(bobs.get["band_rows"]),
         "index_signature": cfg.index_signature(),
     }
+    mdir = os.path.join(index_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"{batch_id}.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(man, fh, sort_keys=True, indent=1)
     os.replace(tmp, mpath)
     return man
+
+
+def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
+                 cfg: IncrementalDedupConfig = IncrementalDedupConfig(),
+                 ) -> dict[str, Any]:
+    """Record the RAW batch ``docs`` in the index under ``batch_id`` and
+    return the commit manifest.
+
+    What gets indexed is the batch's EXACT-stage output — one row per
+    distinct digest not already in the index — NOT the near-dedup
+    survivors: indexing docs that near-dedup later drops is what preserves
+    candidate reachability through dropped intermediates (module
+    docstring).  Pass the same raw frame you gave :func:`dedup_batch`
+    (or use :func:`dedup_and_commit`, which computes the shared exact
+    stage + banding once for both).
+
+    Data dirs first (mode=overwrite, so a crashed commit is retryable),
+    manifest last.  Idempotent: an existing manifest for ``batch_id``
+    (directly, or retired into a compaction) with a matching config hash
+    returns immediately with ``already_committed=True`` and touches
+    nothing; a config mismatch raises.
+
+    NULL-text docs yield no shingles, so they store a digest but no band
+    rows — exactly the one-shot pipeline's semantics (they exact-dedup but
+    are never near-dup candidates); short/empty text yields one truncated
+    gram, same as ``minhash_lsh_pairs``.
+    """
+    existing = _check_committed(index_dir, batch_id, cfg)
+    if existing is not None:
+        return existing
+    _check_index_config(index_dir, cfg, create=True)
+    spark = docs.sparkSession
+    pdocs, banded, _committed = _prepare(spark, docs, index_dir, cfg)
+    return _commit_prepared(pdocs, banded, index_dir, batch_id, cfg)
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
@@ -502,15 +584,28 @@ def _retire_batch(index_dir: str, batch_id: str) -> None:
 def dedup_and_commit(spark: SparkSession, docs: DataFrame, index_dir: str,
                      batch_id: str,
                      cfg: IncrementalDedupConfig = IncrementalDedupConfig(),
-                     ) -> tuple[DataFrame, dict[str, Any]]:
-    """Convenience composition: dedup ``docs`` against the index, commit
-    the survivors under ``batch_id``, return (survivors, manifest).
+                     survivors_sink=None,
+                     ) -> tuple[DataFrame | None, dict[str, Any]]:
+    """The composition to use for a full batch step: ONE shared exact
+    stage + banding feeds both the survivor computation and the index
+    writes (the shingle pipeline runs once), and ``survivors_sink(surv)``
+    — e.g. a parquet write of the survivors — runs BEFORE the index
+    commit, so a crash between them is retryable (the batch is not yet
+    committed) and never loses survivors.
 
-    The survivors plan executes twice (once per commit write) unless the
-    caller materializes first; jobs/dedup_increment.py writes survivors to
-    its output parquet and commits from the re-read bytes instead — the
-    pattern to copy for large batches.
+    Replay-safe: if ``batch_id`` is already committed (directly or retired
+    into a compaction), returns ``(None, manifest)`` WITHOUT recomputing —
+    re-running dedup would see the batch's own rows in the index and
+    collapse the survivors to an empty frame (the trap both the CLI and
+    the streaming twin guard).
     """
-    surv = dedup_batch(spark, docs, index_dir, cfg)
-    man = commit_batch(surv, index_dir, batch_id, cfg)
+    existing = _check_committed(index_dir, batch_id, cfg)
+    if existing is not None:
+        return None, existing
+    _check_index_config(index_dir, cfg, create=True)
+    pdocs, banded, committed = _prepare(spark, docs, index_dir, cfg)
+    surv = _survivors(spark, pdocs, banded, committed, index_dir, cfg)
+    if survivors_sink is not None:
+        survivors_sink(surv)
+    man = _commit_prepared(pdocs, banded, index_dir, batch_id, cfg)
     return surv, man

@@ -40,8 +40,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
-    commit_batch,
-    dedup_batch,
+    dedup_and_commit,
     effective_committed_batches,
 )
 
@@ -89,11 +88,10 @@ def dedup_foreach_batch(index_dir: str, out_dir: str,
                 f"not committed yet the index has committed up to epoch "
                 f"{newest} under prefix {batch_prefix!r} — checkpoint and "
                 f"index disagree; refusing to interleave")
-        spark = batch_df.sparkSession
-        surv = dedup_batch(spark, batch_df, index_dir, cfg)
         dest = os.path.join(out_dir, f"batch={bid}")
-        surv.write.mode("overwrite").parquet(dest)
-        commit_batch(spark.read.parquet(dest), index_dir, bid, cfg)
+        dedup_and_commit(
+            batch_df.sparkSession, batch_df, index_dir, bid, cfg,
+            survivors_sink=lambda s: s.write.mode("overwrite").parquet(dest))
     return fn
 
 

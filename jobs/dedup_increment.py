@@ -9,10 +9,12 @@ to the index so the NEXT batch dedups against them too.
         --out   /data/corpus/batches/2026-08-20 \\
         --batch-id 2026-08-20
 
-Prints ONE JSON line: rows in/out per stage plus the commit manifest.
-Survivors are written BEFORE commit and the commit recomputes hashes from
-the re-read output bytes — one materialization, and what the index records
-is exactly what landed on disk (operators/incremental.py docstring).
+Prints ONE JSON line: rows in/out plus the commit manifest.  Survivors
+are written BEFORE the index commit (crash between them = uncommitted,
+retryable), and both stages share ONE prepared exact-stage + banding so
+the shingle pipeline runs once; the index records the batch's exact-stage
+rows — survivors AND near-dup-dropped docs — which is what keeps the
+one-shot equivalence exact (operators/incremental.py docstring).
 """
 from __future__ import annotations
 
@@ -20,13 +22,11 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
-
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
-    commit_batch,
     committed_batches,
     compact_index,
+    dedup_and_commit,
     dedup_batch,
     effective_committed_batches,
 )
@@ -84,17 +84,18 @@ def main(argv: list[str] | None = None) -> None:
     rows_in = docs.count()
     before = committed_batches(args.index)
 
-    surv = dedup_batch(spark, docs, args.index, cfg)
-    surv.write.mode("overwrite").parquet(args.out)
-    written = spark.read.parquet(args.out)
-
+    sink = lambda s: s.write.mode("overwrite").parquet(args.out)
     result = {"batch_id": args.batch_id, "rows_in": rows_in,
-              "rows_out": written.count(),
               "committed_batches_before": before,
               "dry_run": bool(args.dry_run)}
-    if not args.dry_run:
-        result["manifest"] = commit_batch(written, args.index,
-                                          args.batch_id, cfg)
+    if args.dry_run:
+        sink(dedup_batch(spark, docs, args.index, cfg))
+    else:
+        _surv, man = dedup_and_commit(spark, docs, args.index,
+                                      args.batch_id, cfg,
+                                      survivors_sink=sink)
+        result["manifest"] = man
+    result["rows_out"] = spark.read.parquet(args.out).count()
     json.dump(result, sys.stdout, sort_keys=True)
     print()
 

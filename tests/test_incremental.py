@@ -77,9 +77,9 @@ def test_two_batches_equal_one_shot_over_union(spark, tmp_path):
         (14, _unique_text(14)),
     ])
     idx = str(tmp_path / "idx")
-    s1 = dedup_batch(spark, b1, idx, CFG)
+    s1, man1 = dedup_and_commit(spark, b1, idx, "b1", CFG)
     assert _ids(s1) == {0, 2, 4}
-    commit_batch(s1, idx, "b1", CFG)
+    assert man1["rows"] == 4        # exact-stage rows indexed, incl. dropped near-dup 1
     s2 = dedup_batch(spark, b2, idx, CFG)
     assert _ids(s2) == {12, 14}
 
@@ -115,6 +115,9 @@ def test_recommit_is_idempotent_and_config_mismatch_raises(spark, tmp_path):
     again = commit_batch(docs, idx, "b1", CFG)
     assert again["already_committed"] is True
     assert committed_batches(idx) == ["b1"]
+    # dedup_and_commit replay: manifest back, NO recompute (survivors None)
+    s, man2 = dedup_and_commit(spark, docs, idx, "b1", CFG)
+    assert s is None and man2["already_committed"] is True
     with pytest.raises(ValueError, match="config_hash"):
         commit_batch(docs, idx, "b1",
                      IncrementalDedupConfig(num_hashes=16, bands=4,
@@ -218,7 +221,8 @@ def test_cli_job_dry_run_then_commit(spark, tmp_path):
     main(base + ["--out", out1])
     assert committed_batches(idx) == ["b1"]
     with open(os.path.join(idx, "manifests", "b1.json")) as fh:
-        assert json.load(fh)["rows"] == 2
+        # exact-stage rows (all 3 texts are byte-distinct), not survivors
+        assert json.load(fh)["rows"] == 3
 
     # retried run of the committed batch: the CLI-level replay trap — a
     # recompute would dedup the batch against its own committed rows and
@@ -483,16 +487,20 @@ def test_random_multi_batch_equivalence(spark, tmp_path, seed):
     assert surv == want
 
 
-def test_dedup_batch_plan_invariants(spark, tmp_path):
+def test_dedup_batch_plan_invariants(spark, tmp_path, monkeypatch):
     """Physical-plan shape of the batch-vs-index composition: the heavy-
     bucket exclusion must reach the index side as a BROADCAST anti-join
     (the whole point of band_stats is to avoid a width window / shuffle
     over the big band index), and nothing in the plan may degenerate to a
-    cartesian product."""
+    cartesian product.  _chk is stubbed to identity so the full lazy plan
+    (normally segmented by the eager checkpoints) is visible end-to-end."""
+    from featureextraction_jl_spark.operators import incremental as mod
+
     idx = str(tmp_path / "idx")
     dedup_and_commit(spark, _docs(spark, [(0, FAM_A * 2),
                                           (1, _unique_text(1))]),
                      idx, "b1", CFG)
+    monkeypatch.setattr(mod, "_chk", lambda df: df)
     probe = _docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))])
     plan = (dedup_batch(spark, probe, idx, CFG)
             ._jdf.queryExecution().executedPlan().toString())
@@ -506,3 +514,49 @@ def test_dedup_batch_plan_invariants(spark, tmp_path):
     # the corpus band index is scanned, never width-windowed: the ONLY
     # Window operator is the batch-side max_bucket cap
     assert len(re.findall(r"\bWindow\b", plan)) == 1
+
+
+def test_copy_of_dropped_near_dup_still_dedups(spark, tmp_path):
+    """The index records the exact stage, not the survivors: a batch2 doc
+    byte-equal to a batch1 doc that near-dedup DROPPED must still dedup
+    (its cluster's survivor is published), matching the one-shot pipeline.
+    Survivors-only indexing would keep it (round-5 review finding)."""
+    idx = str(tmp_path / "idx")
+    b1 = _docs(spark, [(0, FAM_A * 2), (1, FAM_A * 3)])     # 1 dropped
+    s1, man = dedup_and_commit(spark, b1, idx, "b1", CFG)
+    assert _ids(s1) == {0} and man["rows"] == 2              # both indexed
+    b2 = _docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))])
+    assert _ids(dedup_batch(spark, b2, idx, CFG)) == {11}
+    assert _ids(_one_shot(b1.unionByName(b2))) == {0, 11}
+
+
+def test_real_corpus_contract_vs_one_shot(spark, sf_dir, tmp_path):
+    """On the real documents table (heavy planted near-dup structure) the
+    equivalence contract holds in its exact documented form: the one-shot
+    survivor set is a SUBSET of the incremental one (nothing one-shot
+    keeps is ever lost), and every extra incremental survivor is a
+    retroactive merge — its one-shot cluster's min-id survivor is a
+    different doc that also survives incrementally (a later batch bridged
+    two already-published clusters; no published row is retracted)."""
+    from featureextraction_jl_spark.operators.dedup import (
+        connected_components)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    idx = str(tmp_path / "idx")
+    s1, _ = dedup_and_commit(spark, b1, idx, "b1",
+                             IncrementalDedupConfig())
+    s2 = dedup_batch(spark, b2, idx, IncrementalDedupConfig())
+    inc = _ids(s1) | _ids(s2)
+
+    d = exact_dedup(docs, "text", "doc_id")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id")
+    full = _ids(near_dedup_survivors(d, pairs, "doc_id"))
+    assert full <= inc
+    extras = inc - full
+    if extras:   # seen: ~27 on sf0.001 — all retroactive merges
+        lab = {r.doc_id: r.cluster_id
+               for r in connected_components(
+                   pairs, d.select("doc_id"), "doc_id").collect()}
+        assert all(lab[e] != e and lab[e] in inc for e in extras)
