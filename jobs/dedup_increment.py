@@ -1,6 +1,6 @@
 """CLI: dedup ONE incoming batch against a persistent dedup index, write
-the survivors, and (unless --dry-run) append their digests + band hashes
-to the index so the NEXT batch dedups against them too.
+the survivors, and (unless --dry-run) record the batch's digests + band
+hashes in the index so the NEXT batch dedups against it too.
 
     spark-submit --py-files dist/featureextraction_jl_spark.zip \\
         jobs/dedup_increment.py \\
