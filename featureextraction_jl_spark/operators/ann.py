@@ -253,15 +253,28 @@ def ivf_topk_batch(assigned: DataFrame, queries: DataFrame,
               .select(query_id_col, query_vec_col,
                       F.explode("__cells").alias(cell_col)))
 
-    from featureextraction_jl_spark.functions.vectors import cosine_cols
+    from featureextraction_jl_spark.functions.vectors import (
+        dot_cols,
+        norm_col,
+    )
 
-    joined = assigned.join(F.broadcast(probed), cell_col)
+    # Norms precomputed per SIDE, below the join (the vectors.py contract,
+    # same as embedding_near_dup_pairs): the join fans each corpus row out
+    # once per query probing its cell and each query out once per
+    # candidate, so a composed cosine_cols would re-fold both O(dim) norms
+    # per PAIR — here each norm folds once per row and only the O(dim) dot
+    # product remains pairwise.
     qv = F.col(query_vec_col).cast("array<double>")
     cv = F.col(vec_col).cast("array<double>")
+    corpus = assigned.withColumn("__cn", norm_col(cv))
+    probed = probed.withColumn("__qn", norm_col(qv))
+    joined = corpus.join(F.broadcast(probed), cell_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col))
     return (joined
             .select(query_id_col, id_col,
-                    F.round(cosine_cols(cv, qv), 6).alias("cosine"))
+                    F.round(dot_cols(cv, qv)
+                            / (F.col("__cn") * F.col("__qn")), 6)
+                    .alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

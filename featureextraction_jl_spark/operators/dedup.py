@@ -401,6 +401,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash so the
     result is reproducible in any SQL engine (DuckDB oracle-checkable).
     """
+    if bits > 64:
+        # gram hashes and the fingerprint are 64-bit longs; bit positions
+        # past 63 hit the JVM's shift-amount masking and silently alias
+        # low bits (same guard as simhash_pairs_from_fingerprints)
+        raise ValueError(f"bits={bits} exceeds the 64-bit long fingerprint")
     # One pass over the grams: explode distinct gram hashes once, then the
     # per-bit votes are ``bits`` conditional SUM aggregates in a single
     # groupBy (partial+final, map-side combined).  The previous form ran
@@ -475,6 +480,14 @@ def simhash_pairs_from_fingerprints(fps: DataFrame, id_col: str = "doc_id",
             f"bands={bands} cannot guarantee recall at max_hamming="
             f"{max_hamming}: pigeonhole needs bands >= max_hamming + 1 "
             f"(a pair may corrupt one bit in every band otherwise)")
+    if bits > 64:
+        # fingerprints are 64-bit longs: segment offsets past 63 hit the
+        # JVM's shift-amount masking (x >>> 64 == x), so high "segments"
+        # would silently alias the LOW bits and the pigeonhole recall
+        # guarantee would break without any error
+        raise ValueError(
+            f"bits={bits} exceeds the 64-bit long fingerprint; use "
+            f"multiple fingerprint columns for wider SimHash")
     if bands > bits:
         raise ValueError(f"bands={bands} exceeds fingerprint bits={bits}")
     # contiguous segments, widths differing by at most 1 when bands does

@@ -352,9 +352,38 @@ def _check_committed(index_dir: str, batch_id: str,
     return None
 
 
+def raw_batch_fingerprint(docs: DataFrame, id_col: str) -> dict[str, Any]:
+    """Order-independent fingerprint of a RAW batch: row count plus the sum
+    of per-id xxhash64 values (decimal — no overflow at any batch size).
+
+    Recorded in the commit manifest and re-derived by the streaming twin
+    when a committed NEWEST epoch re-presents: a true Spark replay carries
+    the identical data (skip is safe), while a deleted/reset sink
+    checkpoint re-batches old + NEW files under the same epoch id — the
+    fingerprint mismatch turns that silent-document-drop into a loud
+    error.  One small agg over the O(batch) frame, paid only on the
+    commit path and on replay probes.
+    """
+    r = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return {"raw_rows": int(r["n"]),
+            "raw_id_hash": None if r["h"] is None else str(r["h"])}
+
+
+#: public name for driver/CLI pre-checks: returns the manifest (with
+#: ``already_committed=True``) when ``batch_id`` is already committed —
+#: directly or retired into a compaction — and RAISES on a config-hash
+#: mismatch with the recorded commit.  A bare membership test against
+#: ``committed_batches`` cannot enforce that contract (a re-run with
+#: different banding params would silently skip instead of refusing).
+check_committed = _check_committed
+
+
 def _commit_prepared(docs: DataFrame, banded: DataFrame, index_dir: str,
                      batch_id: str, cfg: IncrementalDedupConfig,
-                     ) -> dict[str, Any]:
+                     raw: dict[str, Any] | None = None) -> dict[str, Any]:
     """Write ``docs``'s digests + ``banded`` (both from :func:`_prepare`)
     under ``batch_id`` and manifest the commit (data first, manifest
     last)."""
@@ -387,6 +416,7 @@ def _commit_prepared(docs: DataFrame, banded: DataFrame, index_dir: str,
         "rows": int(obs.get["rows"]),
         "band_rows": int(bobs.get["band_rows"]),
         "index_signature": cfg.index_signature(),
+        **(raw or {}),
     }
     mdir = os.path.join(index_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
@@ -428,8 +458,9 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
         return existing
     _check_index_config(index_dir, cfg, create=True)
     spark = docs.sparkSession
+    raw = raw_batch_fingerprint(docs, cfg.id_col)
     pdocs, banded, _committed = _prepare(spark, docs, index_dir, cfg)
-    return _commit_prepared(pdocs, banded, index_dir, batch_id, cfg)
+    return _commit_prepared(pdocs, banded, index_dir, batch_id, cfg, raw)
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
@@ -603,9 +634,10 @@ def dedup_and_commit(spark: SparkSession, docs: DataFrame, index_dir: str,
     if existing is not None:
         return None, existing
     _check_index_config(index_dir, cfg, create=True)
+    raw = raw_batch_fingerprint(docs, cfg.id_col)
     pdocs, banded, committed = _prepare(spark, docs, index_dir, cfg)
     surv = _survivors(spark, pdocs, banded, committed, index_dir, cfg)
     if survivors_sink is not None:
         survivors_sink(surv)
-    man = _commit_prepared(pdocs, banded, index_dir, batch_id, cfg)
+    man = _commit_prepared(pdocs, banded, index_dir, batch_id, cfg, raw)
     return surv, man

@@ -25,7 +25,11 @@ the same data after a crash):
    dedup_batch — re-running would see the batch's own docs in the index
    and overwrite the survivors with an empty frame (the one data-loss
    trap in this composition; the manifest check is the guard, pinned by
-   tests/test_incremental.py).
+   tests/test_incremental.py).  Before skipping, the re-presented batch
+   is verified against the manifest's raw-batch fingerprint: a RESET
+   sink checkpoint re-batches old + NEW files under the same (newest)
+   epoch id, and skipping that would silently drop the new documents —
+   fingerprint mismatch raises instead.
 
 Readers consume only committed batches (read_stream_corpus), so a crashed
 run is never visible downstream.
@@ -40,8 +44,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
+    _read_manifest,
     dedup_and_commit,
     effective_committed_batches,
+    raw_batch_fingerprint,
 )
 
 
@@ -69,6 +75,29 @@ def dedup_foreach_batch(index_dir: str, out_dir: str,
                 # dedup_batch: the index now contains this batch's own
                 # docs.  The CLOSURE check keeps this working after
                 # compact_index retires the epoch's own manifest.
+                #
+                # BUT a deleted/reset sink checkpoint also re-presents the
+                # newest epoch id — with old + NEW files batched under it.
+                # A true Spark replay carries identical data; verify that
+                # against the manifest's raw-batch fingerprint and raise
+                # on mismatch instead of silently dropping the new docs.
+                # (A manifest retired into a compaction, or one written
+                # before the fingerprint existed, has no raw fields — the
+                # unverifiable legacy case keeps the plain skip.)
+                man = _read_manifest(index_dir, bid)
+                if man is not None and man.get("raw_rows") is not None:
+                    raw = raw_batch_fingerprint(batch_df, cfg.id_col)
+                    if (raw["raw_rows"] != man["raw_rows"]
+                            or raw["raw_id_hash"] != man.get("raw_id_hash")):
+                        raise RuntimeError(
+                            f"dedup stream epoch {int(epoch_id)} is already "
+                            f"committed as {bid!r} but the re-presented "
+                            f"batch does not match the committed one "
+                            f"(rows {raw['raw_rows']} vs "
+                            f"{man['raw_rows']}): the sink checkpoint was "
+                            f"reset/deleted and this 'replay' carries NEW "
+                            f"documents — skipping would drop them.  Use a "
+                            f"fresh batch_prefix (or index) to re-ingest")
                 return
             # an OLDER committed epoch re-presenting means the sink
             # checkpoint was reset/deleted or a second stream shares this

@@ -82,7 +82,10 @@ def streaming_windowed_moments(stream: DataFrame, cols: list[str],
     window is 1 + p + p(p+1)/2 doubles — bounded by the watermark, which
     also defines when a window's moments are final (append mode emits each
     exactly once).  Null handling matches compute_moments_expr: rows with
-    any null component are dropped before accumulation.
+    any null OR NaN component are dropped before accumulation (the
+    NaN-unified moments contract — a bare isNotNull filter would let one
+    Arrow-valid NaN poison its whole window's sums while the batch twin
+    drops the row, silently breaking the pinned stream==batch equivalence).
 
     ``cols``: scalar double columns (project array elements upstream —
     element extraction is a narrow map and keeps this fully JVM-side).
@@ -90,7 +93,7 @@ def streaming_windowed_moments(stream: DataFrame, cols: list[str],
     src = stream
     cond = None
     for c in cols:
-        nn = F.col(c).isNotNull()
+        nn = F.col(c).isNotNull() & ~F.isnan(F.col(c))
         cond = nn if cond is None else (cond & nn)
     src = src.filter(cond)
     aggs = [F.count(F.lit(1)).alias("n")]

@@ -24,11 +24,11 @@ import sys
 
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
+    check_committed,
     committed_batches,
     compact_index,
     dedup_and_commit,
     dedup_batch,
-    effective_committed_batches,
 )
 from featureextraction_jl_spark.session import get_spark
 
@@ -69,13 +69,16 @@ def main(argv: list[str] | None = None) -> None:
         num_hashes=args.num_hashes, bands=args.bands,
         shingle_k=args.shingle_k,
         max_bucket=args.max_bucket or None)
-    if args.batch_id in effective_committed_batches(args.index):
+    existing = check_committed(args.index, args.batch_id, cfg)
+    if existing is not None:
         # retried run of a batch whose commit already landed: recomputing
         # now would see this batch's own docs in the index, dedup them ALL
         # away, and overwrite --out with an empty frame (the same replay
-        # trap streaming/incremental.py guards) — leave --out untouched
-        json.dump({"batch_id": args.batch_id, "already_committed": True,
-                   "dry_run": bool(args.dry_run)}, sys.stdout,
+        # trap streaming/incremental.py guards) — leave --out untouched.
+        # check_committed (NOT a bare membership test) so a retry under
+        # DIFFERENT banding params raises the library's config-mismatch
+        # error instead of silently skipping a different commit.
+        json.dump({**existing, "dry_run": bool(args.dry_run)}, sys.stdout,
                   sort_keys=True)
         print()
         return

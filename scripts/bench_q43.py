@@ -45,8 +45,13 @@ def build(spark, sf_dir: str, variant: str):
         kw["size_strategy"] = "window"
     elif variant == "persist":
         kw["persist_grams"] = True
+    # max_df=None mirrors q43 exactly (__spark_entry__.py opts out of the
+    # production absolute cap so the frac is the only pruning): without it
+    # the 2000 default would bind below the 10% frac on any corpus over
+    # 20k docs and the A/B would time a different plan than q43 runs.
     out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
-                              max_df_frac=entry.Q43_MAX_DF_FRAC, **kw)
+                              max_df=None, max_df_frac=entry.Q43_MAX_DF_FRAC,
+                              **kw)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

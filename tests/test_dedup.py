@@ -468,6 +468,15 @@ def test_simhash_pairs_validates_banding(spark):
         simhash_pairs_from_fingerprints(fps, max_hamming=3, bands=3)
     with pytest.raises(ValueError, match="exceeds fingerprint bits"):
         simhash_pairs_from_fingerprints(fps, max_hamming=70)
+    # bits > 64 would push segment offsets past 63, where the JVM masks
+    # the shift amount (x >>> 64 == x) and high segments silently alias
+    # low bits — under-recall with no error; both entry points refuse
+    with pytest.raises(ValueError, match="64-bit long"):
+        simhash_pairs_from_fingerprints(fps, max_hamming=3, bits=128)
+    from featureextraction_jl_spark.operators.dedup import simhash
+    docs = spark.createDataFrame([(0, "abcdef")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="64-bit long"):
+        simhash(docs, bits=128)
 
 
 def test_simhash_pairs_degenerate_corpus_bounded(spark):

@@ -318,6 +318,54 @@ def test_foreach_batch_replay_after_commit_is_noop(spark, tmp_path):
     assert _ids(read_stream_corpus(spark, out, idx)) == {0, 2}
 
 
+def test_foreach_batch_reset_with_new_docs_raises(spark, tmp_path):
+    """A deleted/reset sink checkpoint re-presents the NEWEST committed
+    epoch id with old + NEW files batched under it — indistinguishable
+    from a safe replay by epoch arithmetic alone.  The raw-batch
+    fingerprint in the manifest catches it: silent skip here would drop
+    the new documents with no trace."""
+    from featureextraction_jl_spark.streaming.incremental import (
+        dedup_foreach_batch, read_stream_corpus)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    fn = dedup_foreach_batch(idx, out, CFG)
+    docs = _docs(spark, [(0, FAM_A * 2), (1, _unique_text(1))])
+    fn(docs, 0)
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1}
+    # same epoch id, but the "replay" now carries an extra new document
+    more = _docs(spark, [(0, FAM_A * 2), (1, _unique_text(1)),
+                         (2, _unique_text(2))])
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        fn(more, 0)
+    # same row count but different ids: the id-hash side catches it
+    swapped = _docs(spark, [(0, FAM_A * 2), (3, _unique_text(1))])
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        fn(swapped, 0)
+    # survivors untouched by the refused calls
+    assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1}
+
+
+def test_cli_recommit_with_changed_params_raises(spark, tmp_path):
+    """The CLI's already-committed early return must enforce the library's
+    config-hash contract: a retry under DIFFERENT banding params is not a
+    replay and silently skipping it would leave --out stale with exit 0."""
+    from jobs.dedup_increment import main
+
+    docs_dir = str(tmp_path / "docs")
+    _docs(spark, [(0, FAM_A * 2), (1, _unique_text(1))]) \
+        .write.mode("overwrite").parquet(docs_dir)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    base = ["--docs", docs_dir, "--index", idx, "--out", out,
+            "--batch-id", "b1"]
+    main(base)
+    # identical retry: idempotent no-op (already_committed JSON, exit 0)
+    main(base)
+    with pytest.raises(ValueError, match="refusing to silently skip"):
+        main(base + ["--num-hashes", "16", "--bands", "4"])
+
+
 def test_read_stream_corpus_requires_committed_batches(spark, tmp_path):
     from featureextraction_jl_spark.streaming.incremental import (
         read_stream_corpus)

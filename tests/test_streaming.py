@@ -160,10 +160,15 @@ def test_streaming_windowed_moments_equal_batch(spark, tdir):
     )
 
     cols = ["c0", "c1"]
+    # sparse NaN injection (c1 NaN on ~1/37 of rows): the NaN-unified
+    # moments contract says such rows contribute to NEITHER side — a
+    # streaming filter that only checked isNotNull would fold the NaN into
+    # its window's sums and poison that window's mean/M2
     proj = lambda df: df.select(
         "ts",
         F.length("text").cast("double").alias("c0"),
-        F.log1p(F.col("turn_idx").cast("double")).alias("c1"))
+        F.when(F.col("turn_idx") % 37 == 3, F.lit(float("nan")))
+         .otherwise(F.log1p(F.col("turn_idx").cast("double"))).alias("c1"))
 
     stream = proj(read_transcript_stream(spark, tdir, watermark="0 seconds"))
     run_to_memory(streaming_windowed_moments(stream, cols, duration="1 day"),
