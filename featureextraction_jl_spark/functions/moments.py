@@ -342,6 +342,10 @@ def compute_moments_expr(df: DataFrame, vec_col, p: int | None = None) -> Moment
     perhaps not the p you meant).
     """
     if isinstance(vec_col, (list, tuple)):
+        if not vec_col:
+            raise ValueError(
+                "compute_moments_expr: the scalar-column form needs a "
+                "non-empty list of column names")
         cols = [F.col(c).cast("double") for c in vec_col]
         src = df.select(*[c.alias(f"_x{i}") for i, c in enumerate(cols)])
         cond = None
@@ -430,6 +434,33 @@ def pandas_clean_stack(vals: "pd.Series") -> "np.ndarray | None":
     x = np.stack(arrs).astype(np.float64)
     x = x[~np.isnan(x).any(axis=1)]
     return x if len(x) else None
+
+
+def masked_vector_apply(s: "pd.Series", fn) -> "pd.Series":
+    """Apply ``fn`` (matrix -> matrix) to the valid rows of an array-column
+    pandas Series, emitting NULL for NULL vectors AND for vectors carrying
+    a null/NaN element.
+
+    The transform twin of :func:`pandas_clean_stack`'s drop rule, shared by
+    every vectorized projection/standardization UDF (project_udf,
+    inverse_udf, zscore_vec_udf): the fit side drops null-element rows from
+    the moments, so the serving side must map them to NULL rather than
+    emitting a NaN-bearing feature vector that passes an
+    ``IS NOT NULL`` filter and poisons downstream aggregates (round-5
+    review: the global path disagreed with project_windowed's mask on
+    identical input).
+    """
+    mask = s.notna().to_numpy()
+    out = pd.Series([None] * len(s), dtype=object, index=s.index)
+    if not mask.any():
+        return out
+    x = np.stack(s[mask].to_numpy()).astype(np.float64)
+    good = ~np.isnan(x).any(axis=1)
+    if not good.any():
+        return out
+    idx = s.index[mask][good]
+    out[idx] = pd.Series(list(fn(x[good])), index=idx)
+    return out
 
 
 def compute_grouped_moments(df: DataFrame, group_cols: list[str], vec_col: str) -> DataFrame:

@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from featureextraction_jl_spark.functions.moments import Moments
+from featureextraction_jl_spark.functions.moments import (
+    Moments,
+    masked_vector_apply,
+)
 
 EPS = 1e-12
 
@@ -131,17 +134,11 @@ def project_udf(model: PCAModel, col: str | Column) -> Column:
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _project(s: pd.Series) -> pd.Series:
-        # NULL vectors project to NULL (SQL null propagation) instead of
-        # crashing np.stack mid-batch.
-        mask = s.notna()
-        if mask.all():
-            x = np.stack(s.to_numpy()).astype(np.float64)
-            return pd.Series(list((x - mu) @ w))
-        out = pd.Series([None] * len(s), dtype=object, index=s.index)
-        if mask.any():
-            x = np.stack(s[mask].to_numpy()).astype(np.float64)
-            out[mask] = pd.Series(list((x - mu) @ w), index=s.index[mask])
-        return out
+        # NULL vectors AND vectors with a null/NaN element project to NULL
+        # — the fit side dropped them from the moments, so serving them as
+        # NaN features would silently diverge from project_windowed's mask
+        # on identical input (round-5 review).
+        return masked_vector_apply(s, lambda x: (x - mu) @ w)
 
     return _project(col)
 
@@ -183,14 +180,7 @@ def inverse_udf(model: PCAModel, col: str | Column) -> Column:
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _inverse(s: pd.Series) -> pd.Series:
-        mask = s.notna()  # NULL in -> NULL out, like project_udf
-        if mask.all():
-            y = np.stack(s.to_numpy()).astype(np.float64)
-            return pd.Series(list(y @ w_inv + mu))
-        out = pd.Series([None] * len(s), dtype=object, index=s.index)
-        if mask.any():
-            y = np.stack(s[mask].to_numpy()).astype(np.float64)
-            out[mask] = pd.Series(list(y @ w_inv + mu), index=s.index[mask])
-        return out
+        # NULL / null-element in -> NULL out, like project_udf
+        return masked_vector_apply(s, lambda y: y @ w_inv + mu)
 
     return _inverse(col)

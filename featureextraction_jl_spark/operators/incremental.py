@@ -86,16 +86,17 @@ import hashlib
 import json
 import os
 import re
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .dedup import (
+    cap_bucket_width,
     connected_components,
     content_digests,
+    eager_checkpoint,
     exact_dedup,
     lsh_pairs_from_bands,
     minhash_bands,
@@ -133,7 +134,16 @@ class IncrementalDedupConfig:
 
 
 def _config_hash(cfg: IncrementalDedupConfig) -> str:
-    blob = json.dumps(asdict(cfg), sort_keys=True).encode()
+    """Hash of the COMMIT-RELEVANT config only: the banding parameters
+    (``index_signature``).  What a commit writes — exact-stage digests plus
+    UNCAPPED band rows — is a function of the batch's data values and the
+    banding params alone: ``id_col``/``text_col`` merely NAME the input
+    columns (the index normalizes to ``id``) and ``max_bucket`` caps reads,
+    never writes.  Hashing the full dataclass broke the idempotent-retry
+    contract (round-5 review): a crashed-after-commit batch retried with a
+    different ``max_bucket`` raised "different commit" for a commit that is
+    byte-identical under both configs."""
+    blob = json.dumps(cfg.index_signature(), sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
@@ -180,13 +190,9 @@ def _read_committed(spark: SparkSession, index_dir: str, sub: str,
     return spark.read.parquet(*paths)
 
 
-def _chk(df: DataFrame) -> DataFrame:
-    """Eager checkpoint — RELIABLE ``checkpoint()`` when the session has a
-    checkpoint dir set (cluster path, survives executor loss), else
-    ``localCheckpoint()``; the same policy as ``connected_components``."""
-    sc = df.sparkSession.sparkContext
-    return df.checkpoint(eager=True) if sc.getCheckpointDir() is not None \
-        else df.localCheckpoint(eager=True)
+#: eager lineage truncation — the ONE reliable-vs-local checkpoint policy,
+#: shared with connected_components (round-5 review: was a drifting copy)
+_chk = eager_checkpoint
 
 
 def _prepare(spark: SparkSession, docs: DataFrame, index_dir: str,
@@ -228,13 +234,7 @@ def _survivors(spark: SparkSession, docs: DataFrame, banded: DataFrame,
     """Near-dedup ``docs`` (exact-stage output) against itself and the
     committed index, from its prepared banding."""
     id_c = cfg.id_col
-    capped = banded
-    if cfg.max_bucket is not None:
-        wb = Window.partitionBy("band", "band_hash")
-        capped = (banded
-                  .withColumn("__w", F.count(F.lit(1)).over(wb))
-                  .filter(F.col("__w") <= cfg.max_bucket)
-                  .drop("__w"))
+    capped = cap_bucket_width(banded, ["band", "band_hash"], cfg.max_bucket)
     pairs = lsh_pairs_from_bands(capped, id_c, max_bucket=None)
 
     if not committed:
@@ -521,14 +521,27 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
     # manifests are retired, and commit_batch can still enforce its
     # config-mismatch contract for retired ids
     closure: dict[str, Any] = {}
+    # each source's raw-batch fingerprint rides the closure too: the stream
+    # twin's reset-checkpoint guard (streaming/incremental.py) verifies a
+    # re-presented newest epoch against it, and without carrying it past
+    # retirement a post-compaction "replay" carrying NEW files would be
+    # silently skipped — the exact data-loss trap the fingerprint exists to
+    # close (round-5 review)
+    raws: dict[str, Any] = {}
     for src in committed:
         sman = _read_manifest(index_dir, src) or {}
         if "sources_closure" in sman:   # src is itself a compaction
             nested = sman.get("source_config_hashes", {})
+            nraws = sman.get("source_raw_fingerprints", {})
             for s in sman["sources_closure"]:
                 closure[s] = nested.get(s)
+                raws[s] = nraws.get(s)
         else:
             closure[src] = sman.get("config_hash")
+            raws[src] = (
+                {"raw_rows": sman["raw_rows"],
+                 "raw_id_hash": sman.get("raw_id_hash")}
+                if sman.get("raw_rows") is not None else None)
     src_hash = hashlib.sha256(
         "\n".join(committed).encode()).hexdigest()[:16]
     target = f"compact-{src_hash}"
@@ -551,6 +564,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict[str, Any]:
     man = {"batch_id": target, "sources": committed,
            "sources_closure": sorted(closure),
            "source_config_hashes": {k: closure[k] for k in sorted(closure)},
+           "source_raw_fingerprints": {k: raws.get(k)
+                                       for k in sorted(closure)},
            "rows": int(obs.get["rows"]),
            "compacted": True,
            "config_hash": f"compact:{src_hash}"}
@@ -597,6 +612,32 @@ def effective_committed_batches(index_dir: str) -> set[str]:
     out = set(committed_batches(index_dir))
     out.update(_retired_config_hashes(index_dir))
     return out
+
+
+def committed_raw_fingerprint(index_dir: str,
+                              batch_id: str) -> dict[str, Any] | None:
+    """The raw-batch fingerprint recorded for a committed ``batch_id`` —
+    from its own manifest, or (after compaction retired that manifest)
+    from a compaction batch's ``source_raw_fingerprints`` closure.
+
+    ``None`` means no fingerprint is recoverable: the batch was committed
+    before fingerprints existed, or it was retired by a pre-closure-era
+    compaction.  Callers (the stream twin's reset-checkpoint guard) treat
+    that as the unverifiable legacy case, NOT as a mismatch."""
+    man = _read_manifest(index_dir, batch_id)
+    if man is not None:
+        if man.get("raw_rows") is not None:
+            return {"raw_rows": man["raw_rows"],
+                    "raw_id_hash": man.get("raw_id_hash")}
+        return None
+    for b in committed_batches(index_dir):
+        if not b.startswith("compact-"):
+            continue
+        cman = _read_manifest(index_dir, b) or {}
+        fp = cman.get("source_raw_fingerprints", {}).get(batch_id)
+        if fp is not None and fp.get("raw_rows") is not None:
+            return fp
+    return None
 
 
 def _retire_batch(index_dir: str, batch_id: str) -> None:

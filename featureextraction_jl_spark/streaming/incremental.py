@@ -44,7 +44,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
-    _read_manifest,
+    committed_raw_fingerprint,
     dedup_and_commit,
     effective_committed_batches,
     raw_batch_fingerprint,
@@ -81,20 +81,23 @@ def dedup_foreach_batch(index_dir: str, out_dir: str,
                 # A true Spark replay carries identical data; verify that
                 # against the manifest's raw-batch fingerprint and raise
                 # on mismatch instead of silently dropping the new docs.
-                # (A manifest retired into a compaction, or one written
-                # before the fingerprint existed, has no raw fields — the
-                # unverifiable legacy case keeps the plain skip.)
-                man = _read_manifest(index_dir, bid)
-                if man is not None and man.get("raw_rows") is not None:
+                # The fingerprint survives compaction (it rides the
+                # compaction manifest's source_raw_fingerprints closure,
+                # like the config hashes — round-5 review: reading only
+                # the direct manifest silently skipped a post-compaction
+                # reset carrying NEW files); only a pre-fingerprint-era
+                # commit is unverifiable and keeps the plain skip.
+                fp = committed_raw_fingerprint(index_dir, bid)
+                if fp is not None:
                     raw = raw_batch_fingerprint(batch_df, cfg.id_col)
-                    if (raw["raw_rows"] != man["raw_rows"]
-                            or raw["raw_id_hash"] != man.get("raw_id_hash")):
+                    if (raw["raw_rows"] != fp["raw_rows"]
+                            or raw["raw_id_hash"] != fp.get("raw_id_hash")):
                         raise RuntimeError(
                             f"dedup stream epoch {int(epoch_id)} is already "
                             f"committed as {bid!r} but the re-presented "
                             f"batch does not match the committed one "
                             f"(rows {raw['raw_rows']} vs "
-                            f"{man['raw_rows']}): the sink checkpoint was "
+                            f"{fp['raw_rows']}): the sink checkpoint was "
                             f"reset/deleted and this 'replay' carries NEW "
                             f"documents — skipping would drop them.  Use a "
                             f"fresh batch_prefix (or index) to re-ingest")

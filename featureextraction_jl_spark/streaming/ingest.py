@@ -90,6 +90,11 @@ def streaming_windowed_moments(stream: DataFrame, cols: list[str],
     ``cols``: scalar double columns (project array elements upstream —
     element extraction is a narrow map and keeps this fully JVM-side).
     """
+    if not cols:
+        raise ValueError(
+            "streaming_windowed_moments: cols must be a non-empty list of "
+            "scalar double columns (an empty list has no moments to "
+            "accumulate)")
     src = stream
     cond = None
     for c in cols:

@@ -22,6 +22,9 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
 from featureextraction_jl_spark.operators.incremental import (
     IncrementalDedupConfig,
     check_committed,
@@ -84,21 +87,30 @@ def main(argv: list[str] | None = None) -> None:
         return
     spark = get_spark(f"dedup-increment-{args.batch_id}")
     docs = spark.read.parquet(args.docs)
-    rows_in = docs.count()
     before = committed_batches(args.index)
 
-    sink = lambda s: s.write.mode("overwrite").parquet(args.out)
-    result = {"batch_id": args.batch_id, "rows_in": rows_in,
+    # rows_out from an Observation riding the sink write itself — a
+    # re-read + count of the survivors parquet would be a second full
+    # scan of the output per invocation (round-5 review)
+    out_obs = Observation()
+    sink = lambda s: (s.observe(out_obs, F.count(F.lit(1)).alias("rows"))
+                      .write.mode("overwrite").parquet(args.out))
+    result = {"batch_id": args.batch_id,
               "committed_batches_before": before,
               "dry_run": bool(args.dry_run)}
     if args.dry_run:
+        # no commit -> no manifest to reuse; pay the one input count here
+        result["rows_in"] = docs.count()
         sink(dedup_batch(spark, docs, args.index, cfg))
     else:
         _surv, man = dedup_and_commit(spark, docs, args.index,
                                       args.batch_id, cfg,
                                       survivors_sink=sink)
         result["manifest"] = man
-    result["rows_out"] = spark.read.parquet(args.out).count()
+        # the commit path already counted the raw frame for its manifest
+        # fingerprint — reuse it instead of a dedicated count() scan
+        result["rows_in"] = man["raw_rows"]
+    result["rows_out"] = int(out_obs.get["rows"])
     json.dump(result, sys.stdout, sort_keys=True)
     print()
 

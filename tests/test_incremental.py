@@ -118,10 +118,33 @@ def test_recommit_is_idempotent_and_config_mismatch_raises(spark, tmp_path):
     # dedup_and_commit replay: manifest back, NO recompute (survivors None)
     s, man2 = dedup_and_commit(spark, docs, idx, "b1", CFG)
     assert s is None and man2["already_committed"] is True
+    # mismatch = different BANDING params (the commit-relevant config);
+    # per-call knobs like max_bucket are covered by
+    # test_recommit_with_commit_irrelevant_knobs_is_noop
     with pytest.raises(ValueError, match="config_hash"):
         commit_batch(docs, idx, "b1",
-                     IncrementalDedupConfig(num_hashes=16, bands=4,
-                                            shingle_k=4, max_bucket=7))
+                     IncrementalDedupConfig(num_hashes=8, bands=2,
+                                            shingle_k=3))
+
+
+def test_recommit_with_commit_irrelevant_knobs_is_noop(spark, tmp_path):
+    """id_col/text_col/max_bucket are per-call knobs that cannot change
+    what a commit writes (exact-stage digests + UNCAPPED bands), so a
+    crashed orchestrator retrying an already-committed batch with a
+    different max_bucket must get the idempotent no-op — not the
+    config-mismatch error (round-5 review: hashing the full dataclass
+    broke the retry contract on knobs that cannot change the commit)."""
+    docs = _docs(spark, [(0, _unique_text(0)), (1, _unique_text(1))])
+    idx = str(tmp_path / "idx")
+    commit_batch(docs, idx, "b1", CFG)
+    retry = IncrementalDedupConfig(
+        num_hashes=CFG.num_hashes, bands=CFG.bands,
+        shingle_k=CFG.shingle_k, max_bucket=2000, id_col="doc_id")
+    again = commit_batch(docs, idx, "b1", retry)
+    assert again["already_committed"] is True
+    # and the replay early-return path honors the same contract
+    s, man = dedup_and_commit(spark, docs, idx, "b1", retry)
+    assert s is None and man["already_committed"] is True
 
 
 def test_banding_param_change_against_existing_index_raises(spark, tmp_path):
@@ -411,8 +434,8 @@ def test_compact_index_preserves_dedup_semantics(spark, tmp_path):
     # manifest carries per-source config hashes)
     with pytest.raises(ValueError, match="then compacted"):
         commit_batch(_docs(spark, [(0, FAM_A * 2)]), idx, "b1",
-                     IncrementalDedupConfig(num_hashes=16, bands=4,
-                                            shingle_k=4, max_bucket=9))
+                     IncrementalDedupConfig(num_hashes=8, bands=2,
+                                            shingle_k=3))
     # compact-* ids are reserved for compaction targets
     with pytest.raises(ValueError, match="reserved"):
         commit_batch(_docs(spark, [(50, _unique_text(50))]), idx,
@@ -475,6 +498,43 @@ def test_stream_survives_compaction(spark, tmp_path):
     assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
     fn(_docs(spark, [(10, FAM_A * 3), (11, _unique_text(11))]), 1)  # replay
     assert _ids(read_stream_corpus(spark, out, idx)) == {0, 1, 11}
+
+
+def test_reset_with_new_docs_raises_even_after_compaction(spark, tmp_path):
+    """The raw-batch fingerprint must survive manifest retirement: after
+    compact_index retires the newest epoch's own manifest, a
+    reset-checkpoint 'replay' of that epoch carrying NEW files must still
+    raise, not silently skip (round-5 review: the guard read only the
+    direct manifest, so compaction reopened the exact data-loss trap the
+    fingerprint was added to close)."""
+    from featureextraction_jl_spark.operators.incremental import (
+        committed_raw_fingerprint, compact_index)
+    from featureextraction_jl_spark.streaming.incremental import (
+        dedup_foreach_batch, read_stream_corpus)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    fn = dedup_foreach_batch(idx, out, CFG)
+    fn(_docs(spark, [(0, _unique_text(0))]), 0)
+    # a CLI-committed batch alongside the stream epoch (the reviewed case)
+    commit_batch(_docs(spark, [(50, _unique_text(50))]), idx, "b1", CFG)
+    fp = committed_raw_fingerprint(idx, "mb000000000000")
+    assert fp is not None and fp["raw_rows"] == 1
+
+    compact_index(spark, idx)
+    # fingerprint recoverable from the compaction closure, and again after
+    # a second-level compaction (nested closures propagate it)
+    assert committed_raw_fingerprint(idx, "mb000000000000") == fp
+    commit_batch(_docs(spark, [(60, _unique_text(60))]), idx, "b2", CFG)
+    compact_index(spark, idx)
+    assert committed_raw_fingerprint(idx, "mb000000000000") == fp
+
+    # identical replay of the newest epoch stays a noop...
+    fn(_docs(spark, [(0, _unique_text(0))]), 0)
+    assert 0 in _ids(read_stream_corpus(spark, out, idx))
+    # ...but a reset carrying a NEW doc under the same epoch id raises
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        fn(_docs(spark, [(0, _unique_text(0)), (2, _unique_text(2))]), 0)
 
 
 def test_stream_epoch_collision_and_regression_raise(spark, tmp_path):

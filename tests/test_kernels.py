@@ -449,25 +449,50 @@ def test_projection_udfs_propagate_nulls(spark):
     rng = np.random.default_rng(3)
     X = rng.normal(size=(50, 4))
     model = fit_pca(batch_moments(X), k=4)
-    rows = [([float(v) for v in x],) for x in X[:5]] + [(None,)]
+    # one NULL vector + one vector with a null ELEMENT: BOTH must serve as
+    # NULL — the fit side drops null-element rows from the moments
+    # (pandas_clean_stack contract), so emitting NaN features for them
+    # would silently diverge from the windowed path's mask (round-5
+    # review: project_windowed NULLs them, the global path emitted NaN).
+    rows = ([([float(v) for v in x],) for x in X[:5]]
+            + [(None,), ([1.0, None, 2.0, 3.0],)])
     df = spark.createDataFrame(rows, "vec array<double>")
     out = df.select(project_udf(model, "vec").alias("pc"))
     got = out.withColumn("back", inverse_udf(model, "pc")).collect()
-    assert sum(r["pc"] is None for r in got) == 1
-    assert sum(r["back"] is None for r in got) == 1
+    assert sum(r["pc"] is None for r in got) == 2
+    assert sum(r["back"] is None for r in got) == 2
     for r in got:
         if r["back"] is not None:
             assert np.isfinite(r["back"]).all()
 
 
+def test_moments_empty_cols_raise(spark):
+    """The scalar-column moment builders must reject an empty column list
+    with a clear error, not crash in filter(None) (round-5 review)."""
+    import pytest
+    from featureextraction_jl_spark.functions import compute_moments_expr
+    from featureextraction_jl_spark.streaming.ingest import (
+        streaming_windowed_moments)
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="non-empty"):
+        compute_moments_expr(df, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        streaming_windowed_moments(df, [])
+
+
 def test_zscore_vec_udf_propagates_null_vectors(spark):
-    """VERDICT r04 "what's wrong" #1: a NULL vector must standardize to
-    NULL (like project_udf/inverse_udf), not crash np.stack mid-batch."""
+    """VERDICT r04 "what's wrong" #1 + round-5 review: a NULL vector AND a
+    vector with a null element must standardize to NULL (like
+    project_udf/inverse_udf) — no np.stack crash, no NaN-bearing output
+    that passes an IS NOT NULL filter downstream."""
     m = batch_moments(X)
-    rows = [([float(v) for v in x],) for x in X[:6]] + [(None,)]
+    rows = ([([float(v) for v in x],) for x in X[:6]]
+            + [(None,),
+               ([float(v) for v in X[6][:-1]] + [None],)])
     df = spark.createDataFrame(rows, "vec array<double>")
     got = df.select(zscore_vec_udf(m, "vec").alias("z")).collect()
-    assert sum(r["z"] is None for r in got) == 1
+    assert sum(r["z"] is None for r in got) == 2
     for r in got:
         if r["z"] is not None:
             assert np.isfinite(r["z"]).all()
