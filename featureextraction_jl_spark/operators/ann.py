@@ -45,6 +45,38 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+#: per-(applicationId, centroid-content) broadcast cache shared by
+#: assign_cells and ivf_topk_batch — a serving loop calling either per
+#: batch would otherwise ship and pin a fresh copy of the centroid matrix
+#: on every call (at n_cells=2^16, dim=128 that is ~67 MB of never-freed
+#: broadcast blocks PER CALL; round-5 review).  Same failure class —
+#: and same fix shape — as WindowedPCA._bc_cache.  Bounded FIFO: evicted
+#: entries are unpersist-ed (NOT destroyed — a still-pending lazy plan may
+#: reference them; unpersist frees the executor copies and the broadcast
+#: re-ships from the driver if such a plan later executes).
+_BC_CACHE: dict = {}
+_BC_CACHE_MAX = 8
+
+
+def _broadcast_centroids(sc, cents: np.ndarray, c_sq: np.ndarray):
+    """Broadcast (cents, c_sq) once per (application, matrix content)."""
+    import hashlib
+
+    key = (sc.applicationId, cents.shape,
+           hashlib.sha1(cents.tobytes()).hexdigest())
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        while len(_BC_CACHE) >= _BC_CACHE_MAX:
+            oldest = next(iter(_BC_CACHE))
+            old = _BC_CACHE.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass    # app shutting down; nothing to free
+        bc = sc.broadcast((cents, c_sq))
+        _BC_CACHE[key] = bc
+    return bc
+
 
 def train_ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
                         dim: int, sample_rows: int = 50_000,
@@ -120,7 +152,11 @@ def _nearest_cells(bc_value: tuple, s: pd.Series, ok: pd.Series,
     callers.  ``scalar=True`` returns the single nearest cell id per row
     (assign shape); otherwise arrays of n ids (probe shape, even at n=1)."""
     cents_, c_sq_ = bc_value
-    mask = ok.fillna(False).astype(bool)
+    # ok.eq(True): True only where the JVM validity flag is literally True
+    # (None/NaN -> False) — the old fillna(False).astype(bool) chain trips
+    # pandas' deprecated-downcasting FutureWarning per Arrow batch and its
+    # behavior changes under future.no_silent_downcasting (round-5 review)
+    mask = ok.eq(True)
     out = pd.Series([None] * len(s), dtype=object, index=s.index)
     if mask.any():
         x = np.stack(s[mask].to_numpy()).astype(np.float64)
@@ -150,7 +186,7 @@ def assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
     """
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     c_sq = (cents * cents).sum(axis=1)
-    bc = df.sparkSession.sparkContext.broadcast((cents, c_sq))
+    bc = _broadcast_centroids(df.sparkSession.sparkContext, cents, c_sq)
     dim = cents.shape[1]
 
     @F.pandas_udf(IntegerType())
@@ -238,7 +274,7 @@ def ivf_topk_batch(assigned: DataFrame, queries: DataFrame,
     """
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
     c_sq = (cents * cents).sum(axis=1)
-    bc = queries.sparkSession.sparkContext.broadcast((cents, c_sq))
+    bc = _broadcast_centroids(queries.sparkSession.sparkContext, cents, c_sq)
     dim = cents.shape[1]
 
     @F.pandas_udf(ArrayType(IntegerType()))

@@ -116,10 +116,17 @@ def decode_payload(payload: bytes, media_type: str, fake: bool = False) -> np.nd
         raise NotImplementedError(
             "media codecs are not installed in this container; "
             "pass fake=True for the deterministic stub decoder")
+    if media_type not in _DECODE_SAMPLES:
+        # Loud, not a silent image fallback (round-5 review): decoding a
+        # 'pdf' or NULL type as an image grid emits wrong-modality
+        # pseudo-features that nothing downstream can detect.  NULL types
+        # are handled by the CALLERS' null propagation before decode.
+        raise ValueError(
+            f"unknown media_type {media_type!r}: expected one of "
+            f"{sorted(_DECODE_SAMPLES)}")
     seed = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint64)
     rng = np.random.default_rng(seed)
-    n = _DECODE_SAMPLES.get(media_type, IMAGE_SIDE * IMAGE_SIDE)
-    return rng.random(n)
+    return rng.random(_DECODE_SAMPLES[media_type])
 
 
 def media_feature_vectors(df: DataFrame, id_col: str = "doc_id",
@@ -136,9 +143,11 @@ def media_feature_vectors(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             feats = []
             for payload, mtype in zip(pdf[payload_col], pdf["media_type"]):
-                if payload is None:
-                    # NULL payload -> NULL feature vector (matching
-                    # extract_media_meta); sha256(None) would kill the task
+                if payload is None or mtype is None:
+                    # NULL payload OR NULL media_type -> NULL feature
+                    # vector (matching extract_media_meta's null
+                    # propagation); an unknown NON-null type raises in
+                    # decode_payload — never a silent image fallback
                     feats.append(None)
                     continue
                 x = decode_payload(payload, mtype, fake=fake)

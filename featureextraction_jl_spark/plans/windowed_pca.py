@@ -186,15 +186,25 @@ def _key_from_json(jk: list) -> tuple:
                  for v in jk)
 
 
-def _window_start(ts_col: str, duration: str) -> Column:
-    """Tumbling-window start as a TIMESTAMP column (C7's F.window)."""
-    return F.window(ts_col, duration)["start"]
-
-
 def _window_epoch(ts_col: str, duration: str) -> Column:
     """Window-start EPOCH SECONDS (double) — the timezone-free group key the
-    fit AND the projection both compute with the same JVM expression."""
-    return epoch_seconds(_window_start(ts_col, duration))
+    fit AND the projection both compute with the same JVM expression.
+
+    Computed ARITHMETICALLY (``floor(epoch / W) * W``), not via
+    ``F.window(...)["start"]``: Spark's TimeWindowing analyzer rule injects
+    an implicit ``Filter isnotnull(ts)`` into any plan containing a window
+    expression — even wrapped in ``when()`` — which silently DROPPED every
+    NULL-ts row from the projection output instead of projecting it to NULL
+    (round-5 review, verified live).  The arithmetic form is NULL-preserving
+    (epoch_seconds(NULL) -> NULL) and produces bit-identical window starts
+    to ``F.window`` for fixed durations, including pre-1970 timestamps
+    (mathematical floor; equivalence test-pinned).  Calendar durations
+    (months) are not fixed-length and raise in ``_duration_seconds`` — a
+    loud limit where the old path had a silent row-drop.
+    """
+    w = _duration_seconds(duration)
+    e = epoch_seconds(F.col(ts_col) if isinstance(ts_col, str) else ts_col)
+    return (F.floor(e / F.lit(w)) * F.lit(w)).cast("double")
 
 
 def _norm_gk(v):
@@ -320,6 +330,11 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
     # exactly; the UDF side receives the SAME JVM expression's value
     # (epoch_seconds over the window start) as a double — no timezone, OS
     # or session, participates in the match on either side.
+    if lag_models < 0:
+        raise ValueError(
+            f"lag_models must be >= 0, got {lag_models}: a negative lag "
+            f"serves each row through a FUTURE window's model — exactly "
+            f"the temporal leakage the lag exists to prevent")
     lag_s = 0.0
     if lag_models:
         lag_s = lag_models * _duration_seconds(fitted.duration)
@@ -346,9 +361,15 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
         *keys, win, vecs = cols
         out = pd.Series([None] * len(vecs), dtype=object, index=vecs.index)
         # ``win`` is already epoch seconds (double, JVM-computed); NaN for
-        # NULL ts rows — normalized to None below, which matches no model.
+        # NULL ts rows.  Those rows can never match a model (the fit
+        # filters NULL windows), so exclude them from the groupby up front:
+        # besides being dead work, a NaN in a SINGLE-column groupby
+        # (key_cols=()) raises 'Categorical categories cannot be null'
+        # under dropna=False in pandas 2.x (round-5 review) — their output
+        # stays the initialized None.
         gk_frame = pd.DataFrame({i: k for i, k in enumerate(keys)} |
                                 {"__w": win})
+        gk_frame = gk_frame[win.notna()]
         valid = vecs.notna()
         # dropna=False: a NULL extra key (e.g. NULL conv_id) is a real group
         # on the fit side (Spark groupBy keeps it) — the pandas default
@@ -382,15 +403,35 @@ def project_windowed(df: DataFrame, fitted: WindowedPCA, vec_col: str,
 
 
 def _duration_seconds(duration: str) -> float:
-    """Seconds in a fixed-length window duration string ('30 minutes')."""
-    qty, unit = duration.split()
-    unit = unit.rstrip("s")
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-            "week": 604800}
-    if unit not in mult:
+    """Seconds in a fixed-length window duration string.
+
+    Accepts everything fixed-length that ``F.window`` does (round-5 review:
+    the old two-token parser crashed on compound strings like
+    '1 hour 30 minutes' and mis-reported capitalized units): any sequence
+    of ``<int> <unit>`` pairs, case-insensitive, optional plural, down to
+    microseconds.  Calendar units (month, year) are not fixed-length and
+    raise — per-window models key on a fixed window width."""
+    mult = {"microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+            "minute": 60.0, "hour": 3600.0, "day": 86400.0,
+            "week": 604800.0}
+    toks = duration.split()
+    if not toks or len(toks) % 2:
         raise ValueError(
-            f"lag_models needs a fixed-duration window, got {duration!r}")
-    return float(qty) * mult[unit]
+            f"windowed models need a fixed-duration window like "
+            f"'30 minutes' or '1 hour 30 minutes', got {duration!r}")
+    total = 0.0
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower().rstrip("s")
+        if u not in mult:
+            raise ValueError(
+                f"windowed models need a fixed-duration window "
+                f"(second/minute/hour/day/week...), got {duration!r} — "
+                f"calendar units are not fixed-length")
+        total += float(qty) * mult[u]
+    if total <= 0:
+        raise ValueError(f"window duration must be positive, got "
+                         f"{duration!r}")
+    return total
 
 
 def run_windowed_features(df: DataFrame, vec_col: str, ts_col: str,

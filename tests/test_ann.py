@@ -173,3 +173,25 @@ def test_ivf_empty_and_degenerate_inputs(spark):
         [(0, [0.0] * DIM)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no valid vectors"):
         train_ivf_centroids(all_zero, "embedding", n_cells=2, dim=DIM)
+
+
+def test_centroid_broadcast_reused_across_calls(spark, corpus):
+    """assign_cells / ivf_topk_batch must not ship a fresh broadcast of the
+    same centroid matrix per call (round-5 review: a per-batch serving loop
+    piled never-freed broadcast blocks) — identical content reuses ONE
+    broadcast; different content gets its own."""
+    from featureextraction_jl_spark.operators.ann import (
+        _BC_CACHE,
+        _broadcast_centroids,
+    )
+
+    sc = spark.sparkContext
+    cents = np.ascontiguousarray(np.eye(4), dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+    before = len(_BC_CACHE)
+    b1 = _broadcast_centroids(sc, cents, c_sq)
+    b2 = _broadcast_centroids(sc, cents.copy(), c_sq)   # same CONTENT
+    assert b1 is b2 and len(_BC_CACHE) == before + 1
+    other = np.ascontiguousarray(np.eye(4) * 2.0, dtype=np.float64)
+    b3 = _broadcast_centroids(sc, other, (other * other).sum(axis=1))
+    assert b3 is not b1 and len(_BC_CACHE) == before + 2

@@ -54,6 +54,27 @@ def test_decode_stub_contract():
     assert a.shape == (64,)
     c = decode_payload(b"RIFFother", "audio", fake=True)
     assert c.shape == (256,) and not np.array_equal(a[:64], c[:64])
+    # unknown media_type: loud error, never a silent image-grid fallback
+    # that would emit wrong-modality pseudo-features (round-5 review)
+    with pytest.raises(ValueError, match="unknown media_type"):
+        decode_payload(b"%PDF-1.7", "pdf", fake=True)
+    with pytest.raises(ValueError, match="unknown media_type"):
+        decode_payload(b"%PDF-1.7", None, fake=True)
+
+
+def test_feature_vectors_null_media_type_propagates(spark):
+    """NULL media_type -> NULL feature vector (null propagation, like NULL
+    payloads); an unknown NON-null type raises instead of decoding as an
+    image."""
+    rows = [(1, "image", bytearray(b"\x89PNGaaaa")),
+            (2, None, bytearray(b"????bbbb")),
+            (3, "image", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary")
+    got = {r.doc_id: r.feature_vec
+           for r in media_feature_vectors(df).collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None
 
 
 def test_feature_vectors_deterministic(media):

@@ -363,7 +363,11 @@ def test_windowed_null_extra_key_rows_use_their_model(spark):
 
 def test_windowed_null_ts_rows_excluded_and_null(spark):
     """Rows with NULL ts have no window: excluded from the fit (no phantom
-    model, no manifest entry) and projected to NULL."""
+    model, no manifest entry), PRESERVED in the output, and projected to
+    NULL.  The row-count assertion is load-bearing (round-5 review): the
+    F.window-based projection key dropped NULL-ts rows entirely via the
+    TimeWindowing analyzer's implicit isnotnull filter, and the NULL-slice
+    assertion below passed vacuously on the empty selection."""
     rows = [("a", T0 + dt.timedelta(minutes=m), [float(m), float(m % 3)])
             for m in range(6)] + [("a", None, [9.0, 9.0])]
     df = spark.createDataFrame(
@@ -372,8 +376,41 @@ def test_windowed_null_ts_rows_excluded_and_null(spark):
     assert len(fitted.models) == 1 and not fitted.skipped
     assert sum(fitted.counts.values()) == 6
     pdf = out.toPandas()
+    assert len(pdf) == 7                       # NULL-ts row NOT dropped
+    assert pdf["ts"].isna().sum() == 1
     assert pdf.loc[pdf["ts"].isna(), "feature_vec"].isna().all()
     assert pdf.loc[pdf["ts"].notna(), "feature_vec"].notna().all()
+
+
+def test_windowed_epoch_key_matches_f_window_starts(spark):
+    """The arithmetic window key (floor(epoch/W)*W — NULL-preserving) must
+    produce the exact F.window start epoch for every non-null ts, including
+    pre-1970 and fractional-second timestamps and compound durations —
+    the fit/projection key contract after the round-5 row-drop fix."""
+    from pyspark.sql import functions as F
+
+    from featureextraction_jl_spark.functions.timeutil import epoch_seconds
+    from featureextraction_jl_spark.plans.windowed_pca import (
+        _duration_seconds,
+        _window_epoch,
+    )
+
+    rows = [("2024-01-01 10:17:23.123456",), ("1969-12-31 23:59:59.5",),
+            ("1970-01-01 00:00:00",), ("2004-03-01 00:29:59.999999",)]
+    df = spark.createDataFrame(rows, "s string") \
+        .select(F.to_timestamp("s").alias("ts"))
+    for dur in ("30 minutes", "1 hour 30 minutes", "2 Hours"):
+        got = df.select(
+            _window_epoch("ts", dur).alias("a"),
+            epoch_seconds(
+                F.window("ts", f"{int(_duration_seconds(dur))} seconds"
+                         )["start"]).alias("b")).collect()
+        for r in got:
+            assert r["a"] == r["b"], (dur, r)
+    # calendar durations are not fixed-length: loud error, not a silent drop
+    import pytest
+    with pytest.raises(ValueError, match="fixed-duration"):
+        _duration_seconds("1 month")
 
 
 def test_windowed_null_element_vec_projects_null_not_nan(spark):
@@ -438,3 +475,17 @@ def test_windowed_nan_float_key_semantics(spark):
         rows, "grp double, ts timestamp, vec array<double>")
     with pytest.raises(ValueError, match="duplicate group key"):
         fit_windowed_pca(df2, "vec", "ts", "1 hour", key_cols=("grp",))
+
+
+def test_windowed_negative_lag_models_raises(spark, windowed_df):
+    """lag_models < 0 would serve each row through a FUTURE window's model
+    — the exact leakage the lag exists to prevent; loud error (round-5
+    review), not a silent sign flip."""
+    from featureextraction_jl_spark.plans.windowed_pca import (
+        fit_windowed_pca,
+        project_windowed,
+    )
+
+    fitted = fit_windowed_pca(windowed_df, "vec", "ts", "1 hour")
+    with pytest.raises(ValueError, match="lag_models"):
+        project_windowed(windowed_df, fitted, "vec", "ts", lag_models=-1)
