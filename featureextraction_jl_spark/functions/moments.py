@@ -240,6 +240,25 @@ def _row_to_moments(row) -> Moments:
     return Moments(int(row["n"]), mean, np.asarray(row["m2"], dtype=np.float64).reshape(p, p))
 
 
+def merge_moment_rows(rows) -> Moments:
+    """Chan-fold (n, mean, m2) partial rows into one Moments.
+
+    Accepts a (small) DataFrame of partial rows — collected on the driver —
+    or any iterable of rows that index by field name (Spark Rows, pandas
+    rows).  THE one decode+fold for partial-moment rows, shared by the
+    driver collect path, the bucketed-reduce kernel, and the salted
+    re-merge (round-5 review: three hand-rolled copies of the 'read
+    n/mean/m2, reshape by p, merge' loop had appeared — a partial-row
+    format change must land everywhere at once).  Exact under any grouping
+    because the Chan merge is associative/commutative."""
+    if isinstance(rows, DataFrame):
+        rows = rows.select("n", "mean", "m2").collect()
+    acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
+    for row in rows:
+        acc = merge_moments(acc, _row_to_moments(row))
+    return acc
+
+
 #: partition count above which compute_moments(merge="auto") inserts the
 #: executor-side bucketed reduce instead of collecting per-partition partials
 #: straight to the driver.  Below it the collect is < ~2048 * 5 KB ≈ 10 MB
@@ -276,11 +295,7 @@ def compute_moments(df: DataFrame, vec_col, merge: str = "auto") -> Moments:
         return compute_moments_bucketed(df, vec_col)
     if merge != "driver":
         raise ValueError(f"merge must be auto|driver|bucketed, got {merge!r}")
-    rows = _partials_df(df, vec_col).collect()
-    acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
-    for row in rows:
-        acc = merge_moments(acc, _row_to_moments(row))
-    return acc
+    return merge_moment_rows(_partials_df(df, vec_col).collect())
 
 
 def compute_moments_bucketed(df: DataFrame, vec_col,
@@ -299,18 +314,13 @@ def compute_moments_bucketed(df: DataFrame, vec_col,
         "_b", F.spark_partition_id() % F.lit(buckets))
 
     def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
-        for _, row in pdf.iterrows():
-            acc = merge_moments(acc, _row_to_moments(row))
+        acc = merge_moment_rows(row for _, row in pdf.iterrows())
         return pd.DataFrame({"n": [acc.n], "mean": [acc.mean.tolist()],
                              "m2": [acc.m2.ravel().tolist()]})
 
     merged = partials.groupBy("_b").applyInPandas(
         _merge_bucket, schema=_PARTIAL_SCHEMA)
-    acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
-    for row in merged.collect():
-        acc = merge_moments(acc, _row_to_moments(row))
-    return acc
+    return merge_moment_rows(merged.collect())
 
 
 def compute_moments_expr(df: DataFrame, vec_col, p: int | None = None) -> Moments:
@@ -498,13 +508,3 @@ def compute_grouped_moments(df: DataFrame, group_cols: list[str], vec_col: str) 
     )
 
 
-def merge_moment_rows(df: DataFrame) -> Moments:
-    """Merge a (small) DataFrame of (n, mean, m2) partial rows on the driver.
-
-    Used to re-merge salted partials (plans/salting.py) — exact because the
-    Chan merge is associative/commutative.
-    """
-    acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
-    for row in df.select("n", "mean", "m2").collect():
-        acc = merge_moments(acc, _row_to_moments(row))
-    return acc

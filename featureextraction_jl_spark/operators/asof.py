@@ -70,7 +70,16 @@ def _union_sweep(left: DataFrame, right: DataFrame, on: Sequence[str],
 
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    ts_key = F.col(left_ts).desc() if descending else F.col(left_ts).asc()
+    # NULLS FIRST in BOTH directions: a NULL-ts left row must see no right
+    # rows before it in the sweep, so it stays unmatched.  Ascending
+    # already defaults to nulls-first, but descending defaults to nulls
+    # LAST — which parked NULL-ts left rows after every right row and
+    # attached the EARLIEST right payload to them in the forward/nearest
+    # sweeps (round-5 review, confirmed live): a temporally untraceable,
+    # leakage-shaped match the backward path and the pandas twin both
+    # refuse.
+    ts_key = (F.col(left_ts).desc_nulls_first() if descending
+              else F.col(left_ts).asc_nulls_first())
     # ``left_order`` columns slot BETWEEN ts and the side tag so that the
     # sweep's sort order (key, ts, left_order...) is a prefix superset of a
     # downstream Window's (key, ts, left_order...) — Catalyst then elides
@@ -188,6 +197,15 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, on: str,
     frame (cogroup), merged with the library asof.  O(key group) memory.
     """
     right_cols = [c for c in right.columns if c != on and c != right_ts]
+    # Mirror asof_join's plan-time collision check (round-5 review): without
+    # it a duplicate payload name builds a schema with two same-named fields
+    # and dies mid-job inside the Python worker with an opaque
+    # RESULT_COLUMN_NAMES_MISMATCH — a cross-check that crashes differently
+    # from the path it checks.
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns collide with left: {sorted(overlap)}")
     fields = []
     for c in left.schema.fields:
         fields.append(f"{c.name} {c.dataType.simpleString()}")

@@ -125,8 +125,17 @@ def input_fingerprint(*paths: str) -> str:
     return h.hexdigest()
 
 
+#: config fields that CANNOT change what a run writes — pure performance
+#: knobs.  Excluded from config_hash so toggling one between a run and its
+#: resume does not invalidate every manifest and force a full recompute of
+#: byte-identical outputs (round-5 review).
+NON_SEMANTIC_CONFIG_FIELDS = ("cache_prepared",)
+
+
 def config_hash(cfg: FeatureJobConfig, n_units: int) -> str:
-    payload = json.dumps({**asdict(cfg), "n_units": n_units}, sort_keys=True)
+    semantic = {k: v for k, v in asdict(cfg).items()
+                if k not in NON_SEMANTIC_CONFIG_FIELDS}
+    payload = json.dumps({**semantic, "n_units": n_units}, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

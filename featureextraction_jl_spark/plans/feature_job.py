@@ -118,6 +118,13 @@ def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
     df = transcripts.withColumn(
         "char_len", F.coalesce(F.length("text").cast("double"), F.lit(0.0)))
     if snapshots is not None:
+        # Prune the snapshot side to the columns this job consumes BEFORE
+        # the join (round-5 review): the as-of sweep carries the whole
+        # right payload in one struct through the job's single full-data
+        # Exchange+Sort, and the window aggregate blocks Catalyst
+        # struct-field pruning — unused snapshot columns (snap_score)
+        # would be shuffled for every row and then dropped.
+        snapshots = snapshots.select("conv_id", "snapshot_ts", "snap_vec")
         # left_order=ORDER[1:]: fold turn_idx into the sweep's sort so the
         # sessionize/lag/backfill windows' (ts, turn_idx) ordering is already
         # delivered — Catalyst elides their Sort (one sort per pass, not two;
@@ -125,8 +132,6 @@ def build_turn_features(transcripts: DataFrame, snapshots: DataFrame | None,
         df = asof_join(df, snapshots, on="conv_id", left_ts="ts",
                        right_ts="snapshot_ts", direction="backward",
                        left_order=tuple(ORDER[1:]))
-        if "snap_score" in df.columns:
-            df = df.drop("snap_score")
     else:
         df = df.withColumn("snap_vec", F.lit(None).cast("array<double>"))
     df = sessionize(df, gap_seconds=cfg.gap_seconds, order=ORDER)
@@ -183,6 +188,17 @@ def run_features(transcripts: DataFrame, snapshots: DataFrame | None = None,
             "session_id", "feature_vec")
         return out, model
 
+    from featureextraction_jl_spark.plans.windowed_pca import WindowedPCA
+
+    if model is not None and isinstance(model, WindowedPCA):
+        # symmetric twin of the windowed branch's TypeError (round-5
+        # review): without it project_udf dies with an opaque
+        # AttributeError instead of pointing at the missing
+        # window_duration
+        raise TypeError(
+            "pre-fitted model is a WindowedPCA but window_duration is not "
+            "set; set cfg.window_duration to the duration it was fitted "
+            "with (or pass a global PCAModel)")
     if model is None:
         # Fit pass reads only raw_vec (column-pruned chain); the projection
         # pass recomputes the chain with the text payload.  Measured: caching

@@ -15,15 +15,13 @@ approximate groupBy over a fraction, broadcast back as a set.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from featureextraction_jl_spark.functions.moments import (
-    Moments,
-    merge_moments,
+    merge_moment_rows,
 )
 
 
@@ -158,12 +156,9 @@ def salted_grouped_moments(df: DataFrame, key: str, vec_col: str,
 
     # stage 2: re-merge per key (<= num_salts tiny rows each)
     def remerge(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = Moments(0, np.zeros(0), np.zeros((0, 0)))
-        for _, row in pdf.iterrows():
-            mean = np.asarray(row["mean"])
-            p = mean.shape[0]
-            acc = merge_moments(
-                acc, Moments(int(row["n"]), mean, np.asarray(row["m2"]).reshape(p, p)))
+        # shared decode+fold (merge_moment_rows): the partial-row format
+        # lives in ONE place across the driver/bucketed/salted paths
+        acc = merge_moment_rows(row for _, row in pdf.iterrows())
         return pd.DataFrame({
             key: [pdf_key[0]], "n": [acc.n],
             "mean": [acc.mean.tolist()], "m2": [acc.m2.ravel().tolist()],

@@ -79,6 +79,14 @@ def streaming_moments(stream: DataFrame, key_col: str, vec_col: str,
             if x is None:
                 continue
             acc = merge_moments(acc, batch_moments(x))
+        if acc.n == 0:
+            # A key whose rows were ALL invalid contributed nothing — the
+            # batch paths (compute_grouped_moments) emit no group row for
+            # it, so neither state (an otherwise-immortal 0-row entry
+            # without TTL) nor an (n=0, mean=[], m2=[]) emission that
+            # fit_pca downstream cannot consume is created (round-5
+            # review).
+            return
         state.update((acc.n, acc.mean.tolist(), acc.m2.ravel().tolist()))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
@@ -140,6 +148,10 @@ def streaming_moments_tws(stream: DataFrame, key_col: str,
                 if x is None:
                     continue
                 acc = merge_moments(acc, batch_moments(x))
+            if acc.n == 0:
+                # all-invalid key: no state, no emission (same contract as
+                # the applyInPandasWithState twin and the batch paths)
+                return
             self._state.update((acc.n, acc.mean.tolist(),
                                 acc.m2.ravel().tolist()))
             yield pd.DataFrame({"key": [key[0]], "n": [acc.n],

@@ -94,6 +94,12 @@ def test_manifest_invalidation_keys():
     assert config_hash(CFG, 4) != config_hash(FeatureJobConfig(num_buckets=8, k=5), 4)
     assert input_fingerprint("/root/testdata/sf0.001") \
         != input_fingerprint("/root/testdata/sf0.01")
+    # ...but pure performance knobs must NOT (round-5 review: toggling
+    # cache_prepared between a run and its resume invalidated every
+    # manifest and recomputed byte-identical outputs from scratch)
+    import dataclasses
+    assert config_hash(CFG, 4) == config_hash(
+        dataclasses.replace(CFG, cache_prepared=not CFG.cache_prepared), 4)
 
 
 def test_shrinking_n_units_removes_stale_outputs(spark, inputs, direct, tmp_path):

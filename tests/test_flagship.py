@@ -312,3 +312,22 @@ def test_detect_heavy_keys_warns_when_probe_blind(spark):
         detect_heavy_keys(df, "k", threshold_rows=50, sample_fraction=None)
         detect_heavy_keys(df, "k", threshold_rows=10_000, sample_fraction=0.05)
     assert not any("statistically invisible" in str(x.message) for x in w)
+
+
+def test_global_path_rejects_windowed_model_without_duration(spark, data):
+    """Passing a pre-fitted WindowedPCA with window_duration unset must
+    raise the symmetric TypeError (round-5 review: it previously died in
+    project_udf with an opaque AttributeError that never mentioned
+    window_duration)."""
+    import pytest
+
+    from featureextraction_jl_spark.plans.feature_job import (
+        FeatureJobConfig,
+        run_features,
+    )
+    from featureextraction_jl_spark.plans.windowed_pca import WindowedPCA
+
+    t, s = data
+    fake = WindowedPCA({}, {}, "1 hour", ())
+    with pytest.raises(TypeError, match="window_duration"):
+        run_features(t, s, CFG, model=fake)

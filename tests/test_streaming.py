@@ -187,3 +187,26 @@ def test_streaming_windowed_moments_equal_batch(spark, tdir):
         np.testing.assert_allclose(mean, truth[w]["mean"], rtol=1e-9)
         np.testing.assert_allclose(
             m2, np.asarray(truth[w]["m2"]).reshape(2, 2), rtol=1e-6, atol=1e-6)
+
+
+def test_streaming_moments_all_invalid_key_emits_nothing(spark, tmp_path):
+    """A key whose rows are ALL invalid (null/null-element vectors) must
+    create neither an emission nor state — the batch paths emit no group
+    row for it, and an (n=0, mean=[], m2=[]) row would crash fit_pca
+    downstream while a TTL-less 0-row state entry lived forever (round-5
+    review)."""
+    vdir = str(tmp_path / "vecs_invalid")
+    pdf = pd.DataFrame({
+        "key": ["good"] * 5 + ["bad"] * 3 + ["worse"] * 2,
+        "vec": [[float(i), 2.0, 3.0] for i in range(5)]
+        + [[1.0, None, 2.0]] * 3          # null element only
+        + [None] * 2,                     # NULL vector only
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(vdir)
+    stream = (spark.readStream.schema("key string, vec array<double>")
+              .parquet(vdir))
+    run_to_memory(streaming_moments(stream, "key", "vec"), "mom_invalid",
+                  output_mode="update")
+    rows = spark.table("mom_invalid").collect()
+    assert {r["key"] for r in rows} == {"good"}
+    assert all(r["n"] == 5 for r in rows)

@@ -473,14 +473,45 @@ def test_asof_pandas_tolerates_null_timestamps(spark):
         left_rows, "conv_id string, turn_idx int, ts timestamp")
     right = spark.createDataFrame(
         right_rows, "conv_id string, snapshot_ts timestamp, snap_score double")
-    a = asof_join(left, right, on="conv_id", left_ts="ts",
-                  right_ts="snapshot_ts").toPandas()
-    b = asof_join_pandas(left, right, on="conv_id", left_ts="ts",
-                         right_ts="snapshot_ts").toPandas()
-    for out in (a, b):
-        out = out.sort_values("turn_idx").reset_index(drop=True)
-        assert out.loc[0, "snap_score"] == 10.0   # matched, never the NaT row
-        assert pd.isna(out.loc[1, "snap_score"])  # null left ts -> unmatched
+    # ALL three directions (round-5 review): the descending sweep's default
+    # nulls-LAST ordering parked NULL-ts left rows after every right row,
+    # so forward/nearest attached the earliest right payload to them — a
+    # temporally untraceable, leakage-shaped match backward never made.
+    for direction in ("backward", "forward", "nearest"):
+        a = asof_join(left, right, on="conv_id", left_ts="ts",
+                      right_ts="snapshot_ts", direction=direction).toPandas()
+        b = asof_join_pandas(left, right, on="conv_id", left_ts="ts",
+                             right_ts="snapshot_ts",
+                             direction=direction).toPandas()
+        for out in (a, b):
+            out = out.sort_values("turn_idx").reset_index(drop=True)
+            if direction == "backward":
+                assert out.loc[0, "snap_score"] == 10.0  # never the NaT row
+            # null left ts -> unmatched in EVERY direction
+            assert pd.isna(out.loc[1, "snap_score"])
+
+
+def test_asof_pandas_rejects_colliding_payload_columns(spark):
+    """The cross-check twin must refuse colliding right payload names at
+    plan time exactly like asof_join (round-5 review: it previously built
+    a duplicate-name schema and died mid-job inside the Python worker with
+    an opaque RESULT_COLUMN_NAMES_MISMATCH)."""
+    import datetime as dt
+
+    import pytest
+
+    t0 = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame([("a", t0, 1.0)],
+                                 "conv_id string, ts timestamp, score double")
+    right = spark.createDataFrame(
+        [("a", t0, 2.0)],
+        "conv_id string, snapshot_ts timestamp, score double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="conv_id", left_ts="ts",
+                  right_ts="snapshot_ts")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_pandas(left, right, on="conv_id", left_ts="ts",
+                         right_ts="snapshot_ts")
 
 
 def test_asof_pandas_zero_tolerance_matches_production(spark):
