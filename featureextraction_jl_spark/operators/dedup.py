@@ -71,7 +71,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     independent.  Pinned by tests/test_dedup.py (expression-order test).
     """
     d1, d2 = content_digests(text_col)
-    digests = df.select(id_col, d1.alias("__d1"), d2.alias("__d2"))
+    # A NULL id is malformed input (ids must be globally unique), and it
+    # fails SILENTLY here: min(id) skips NULLs and the semi-join never
+    # matches NULL = NULL, so the row would just vanish from the output
+    # (round-5 review).  Refuse loudly, in-plan (raise_error costs nothing
+    # until a NULL id actually appears), matching connected_components'
+    # malformed-id convention.
+    guarded = F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+        F.raise_error(F.lit(
+            f"exact_dedup: NULL {id_col} — ids must be non-null and "
+            f"globally unique; a NULL id row would silently vanish from "
+            f"the dedup output")))
+    digests = df.select(guarded.alias(id_col),
+                        d1.alias("__d1"), d2.alias("__d2"))
     keep = digests.groupBy("__d1", "__d2").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
@@ -281,6 +293,14 @@ def cap_bucket_width(df: DataFrame, keys: list[str],
     """
     if max_bucket is None:
         return df
+    if max_bucket <= 0:
+        # 0/negative is ambiguous ('disable'? 'drop everything'?) and the
+        # literal filter (__w <= 0) would silently drop EVERY band row and
+        # turn near-dedup off (round-5 review).  The CLI's '0 disables'
+        # convention maps 0 -> None before it reaches the library.
+        raise ValueError(
+            f"max_bucket must be positive, got {max_bucket} "
+            f"(pass None to disable the cap)")
     wb = Window.partitionBy(*keys)
     return (df.withColumn("__w", F.count(F.lit(1)).over(wb))
             .filter(F.col("__w") <= max_bucket)
@@ -799,12 +819,14 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         F.posexplode(_buckets(v)).alias("tbl", "bucket"),
     )
     if max_bucket is not None:
+        if max_bucket <= 0:
+            raise ValueError(
+                f"max_bucket must be positive, got {max_bucket} "
+                f"(pass None to disable the cap)")
         if cap_strategy == "window":
-            wb = Window.partitionBy("tbl", "bucket")
-            tagged = (tagged
-                      .withColumn("__w", F.count(F.lit(1)).over(wb))
-                      .filter(F.col("__w") <= max_bucket)
-                      .drop("__w"))
+            # shared guard (round-5 review: this branch had re-grown an
+            # inline copy of the exact block cap_bucket_width centralizes)
+            tagged = cap_bucket_width(tagged, ["tbl", "bucket"], max_bucket)
         else:
             wide = (tagged.groupBy("tbl", "bucket")
                     .agg(F.count(F.lit(1)).alias("__w"))

@@ -120,7 +120,9 @@ class IncrementalDedupConfig:
     bands, shingle_k) define the index's hash space and are frozen into
     ``index.json`` at first commit — later calls against the same index
     must match or the cross-batch join would compare incompatible hashes
-    (raises).  ``id_col``/``text_col``/``max_bucket`` are per-call."""
+    (raises).  ``max_bucket`` is per-call (caps reads, never what a commit
+    writes); ``id_col``/``text_col`` participate in the commit identity —
+    they pick which columns' VALUES get written."""
     id_col: str = "doc_id"
     text_col: str = "text"
     num_hashes: int = 32
@@ -134,16 +136,20 @@ class IncrementalDedupConfig:
 
 
 def _config_hash(cfg: IncrementalDedupConfig) -> str:
-    """Hash of the COMMIT-RELEVANT config only: the banding parameters
-    (``index_signature``).  What a commit writes — exact-stage digests plus
-    UNCAPPED band rows — is a function of the batch's data values and the
-    banding params alone: ``id_col``/``text_col`` merely NAME the input
-    columns (the index normalizes to ``id``) and ``max_bucket`` caps reads,
-    never writes.  Hashing the full dataclass broke the idempotent-retry
-    contract (round-5 review): a crashed-after-commit batch retried with a
-    different ``max_bucket`` raised "different commit" for a commit that is
-    byte-identical under both configs."""
-    blob = json.dumps(cfg.index_signature(), sort_keys=True).encode()
+    """Hash of the COMMIT-RELEVANT config: banding parameters
+    (``index_signature``) plus ``id_col``/``text_col``.  What a commit
+    writes is a function of the banding params and of WHICH columns supply
+    ids and text — on a multi-column frame, retrying a committed batch id
+    with ``text_col='body'`` instead of ``'text'`` would have written
+    byte-different digests/bands, so silently returning
+    ``already_committed`` for it is exactly the 'skip a different commit'
+    this check exists to refuse (round-5 review, second pass).
+    ``max_bucket`` stays excluded: it caps reads, never writes, so a
+    crashed-after-commit retry with a different cap is a true idempotent
+    no-op (round-5 review, first pass)."""
+    payload = {**cfg.index_signature(),
+               "id_col": cfg.id_col, "text_col": cfg.text_col}
+    blob = json.dumps(payload, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
@@ -448,10 +454,15 @@ def commit_batch(docs: DataFrame, index_dir: str, batch_id: str,
     returns immediately with ``already_committed=True`` and touches
     nothing; a config mismatch raises.
 
-    NULL-text docs yield no shingles, so they store a digest but no band
-    rows — exactly the one-shot pipeline's semantics (they exact-dedup but
-    are never near-dup candidates); short/empty text yields one truncated
-    gram, same as ``minhash_lsh_pairs``.
+    NULL-text docs: ``xxhash64`` of an all-NULL input returns its seed, so
+    every NULL-text doc has the SAME content digest (they collapse to one
+    survivor in the exact stage, within-batch and cross-batch) and the one
+    survivor carries a single degenerate shingle ``[seed]`` — it banding-
+    collides with other NULL-text survivors, which is consistent one-shot
+    vs incremental (verified live, round-5 review: an earlier version of
+    this docstring claimed NULL text yields NO band rows, which is false).
+    Short/empty text yields one truncated gram, same as
+    ``minhash_lsh_pairs``.
     """
     existing = _check_committed(index_dir, batch_id, cfg)
     if existing is not None:

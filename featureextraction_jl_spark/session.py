@@ -48,18 +48,6 @@ ENGINE_CONFS: dict[str, str] = {
     # near-dedup sweep accumulate on HDFS/S3 for the session's lifetime.
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": _default_driver_memory(),
-    # Pre-fault the whole heap at JVM start (Xms=Xmx + AlwaysPreTouch).
-    # Measured on this host: concurrent first-touch page faults collapse
-    # ~50x under parallelism (memcpy microbench: 9.3 GB/s at 1 proc ->
-    # 0.2 GB/s aggregate at 8 untouched-buffer procs; 52.6 GB/s once
-    # pre-touched), which made local[32] runs SLOWER than local[8]
-    # (175-592s vs 63s).  Pre-touching moves all heap faults to startup:
-    # local[32] flagship 592s -> 61s.  Standard large-heap JVM practice on
-    # real clusters too (set spark.executor.extraJavaOptions likewise).
-    "spark.driver.extraJavaOptions": os.environ.get(
-        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-        f"-Xms{_default_driver_memory()} -XX:+AlwaysPreTouch"),
 }
 
 #: glibc tuning for the Python workers (inherited via fork from the JVM's
@@ -102,9 +90,29 @@ def _dynamic_confs() -> dict[str, str]:
     if not shuffle.isdigit() or int(shuffle) < 1:
         raise ValueError(
             f"SPARK_GRAFT_SHUFFLE must be a positive integer, got {shuffle!r}")
+    # Driver memory is env-dependent too (SPARK_DRIVER_MEMORY / MemTotal),
+    # so it belongs HERE, not in the import-time ENGINE_CONFS dict: a
+    # harness that imports this module (pytest collection) and only then
+    # sets SPARK_DRIVER_MEMORY would otherwise have its setting silently
+    # ignored (round-5 review) — the one pattern this function's docstring
+    # exists to prevent.
+    #
+    # Pre-fault the whole heap at JVM start (Xms=Xmx + AlwaysPreTouch).
+    # Measured on this host: concurrent first-touch page faults collapse
+    # ~50x under parallelism (memcpy microbench: 9.3 GB/s at 1 proc ->
+    # 0.2 GB/s aggregate at 8 untouched-buffer procs; 52.6 GB/s once
+    # pre-touched), which made local[32] runs SLOWER than local[8]
+    # (175-592s vs 63s).  Pre-touching moves all heap faults to startup:
+    # local[32] flagship 592s -> 61s.  Standard large-heap JVM practice on
+    # real clusters too (set spark.executor.extraJavaOptions likewise).
+    heap = _default_driver_memory()
     return {
         "spark.sql.adaptive.coalescePartitions.enabled": coalesce,
         "spark.sql.shuffle.partitions": shuffle,
+        "spark.driver.memory": heap,
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+            f"-Xms{heap} -XX:+AlwaysPreTouch"),
     }
 
 

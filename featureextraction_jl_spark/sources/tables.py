@@ -35,10 +35,20 @@ TRANSCRIPT_SCHEMA = StructType([
 
 def read_table(spark: SparkSession, path_or_table: str,
                fmt: str | None = None) -> DataFrame:
-    """Read a table: Iceberg catalog name, or parquet path (sandbox)."""
+    """Read a table: Iceberg catalog name, or parquet path (sandbox).
+
+    ``fmt`` is validated (round-5 review): an unknown value used to fall
+    through to the parquet reader, surfacing a typo ('delta', 'csv') as a
+    confusing not-a-parquet-file failure far from the bad argument — or a
+    silently wrong-format read.
+    """
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path_or_table)
-    return spark.read.parquet(path_or_table)
+    if fmt in (None, "parquet"):
+        return spark.read.parquet(path_or_table)
+    raise ValueError(
+        f"read_table: unknown fmt {fmt!r} (expected 'iceberg', 'parquet' "
+        f"or None)")
 
 
 def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None,
@@ -92,10 +102,25 @@ def write_features(df: DataFrame, path: str, fmt: str = "parquet",
     """
     if fmt == "iceberg":
         writer = df.writeTo(path)
-        if bucket_col:
+        if bucket_col and mode == "overwrite":
             from pyspark.sql.functions import bucket
             writer = writer.partitionedBy(bucket(num_buckets, bucket_col))
         if mode == "append":
+            # DataFrameWriterV2.partitionedBy applies only to
+            # create/replace — append() ignores it silently, so a caller
+            # passing bucket_col here would believe they bucketed rows
+            # that actually land under the EXISTING table's spec (round-5
+            # review).  Appends inherit the table's partition spec by
+            # design; demanding a different one is a table-evolution
+            # operation, not a write option.
+            if bucket_col:
+                raise ValueError(
+                    "write_features(fmt='iceberg', mode='append') cannot "
+                    "apply bucket_col: appends inherit the existing "
+                    "table's partition spec (Iceberg hidden partitioning)."
+                    "  Create the table bucketed (mode='overwrite' with "
+                    "bucket_col) or evolve its spec first, then append "
+                    "without bucket_col")
             writer.append()
         elif mode == "overwrite":
             writer.createOrReplace()

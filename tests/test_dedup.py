@@ -785,3 +785,42 @@ def test_ngram_df_thresholds_compose(spark):
                               max_df=2000, max_df_frac=0.5).collect()
     shared_only = {(r["id_a"], r["id_b"]) for r in got}
     assert (100, 101) not in shared_only  # all their grams were ubiquitous
+
+
+def test_cap_bucket_width_rejects_nonpositive(spark):
+    """max_bucket=0/negative is ambiguous and the literal filter would
+    silently drop EVERY band row (near-dedup off, no error) — the library
+    raises; the CLI's '0 disables' maps 0 -> None before it gets here."""
+    from featureextraction_jl_spark.operators.dedup import (
+        cap_bucket_width,
+        embedding_near_dup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, 0, 7)], "doc_id long, band int, band_hash long")
+    with pytest.raises(ValueError, match="positive"):
+        cap_bucket_width(df, ["band", "band_hash"], 0)
+    with pytest.raises(ValueError, match="positive"):
+        cap_bucket_width(df, ["band", "band_hash"], -1)
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="positive"):
+        minhash_lsh_pairs(docs, max_bucket=0)
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="positive"):
+        embedding_near_dup_pairs(vecs, "embedding", "vec_id",
+                                 max_bucket=0).collect()
+
+
+def test_exact_dedup_null_id_raises(spark):
+    """A NULL id used to vanish silently (min(id) skips NULLs; the
+    semi-join never matches NULL=NULL) — now the plan raises loudly at
+    execution, matching connected_components' malformed-id convention."""
+    from featureextraction_jl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, "keep me"), (None, "unique text")],
+                               "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        exact_dedup(df).collect()
+    ok = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    assert exact_dedup(ok).count() == 1

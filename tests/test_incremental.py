@@ -668,3 +668,20 @@ def test_real_corpus_contract_vs_one_shot(spark, sf_dir, tmp_path):
                for r in connected_components(
                    pairs, d.select("doc_id"), "doc_id").collect()}
         assert all(lab[e] != e and lab[e] in inc for e in extras)
+
+
+def test_recommit_with_different_text_col_raises(spark, tmp_path):
+    """text_col picks which column's VALUES a commit writes — on a
+    multi-column frame a retry with a different text_col is NOT a replay
+    and must raise, never silently return already_committed (round-5
+    review, second pass)."""
+    docs = spark.createDataFrame(
+        [(0, _unique_text(0), "other body")],
+        "doc_id long, text string, body string")
+    idx = str(tmp_path / "idx")
+    commit_batch(docs, idx, "b1", CFG)
+    other = IncrementalDedupConfig(num_hashes=CFG.num_hashes,
+                                   bands=CFG.bands, shingle_k=CFG.shingle_k,
+                                   text_col="body")
+    with pytest.raises(ValueError, match="config_hash"):
+        commit_batch(docs, idx, "b1", other)

@@ -54,12 +54,22 @@ def test_arrow_and_aqe_pinned():
     assert ENGINE_CONFS["spark.sql.session.timeZone"] == "UTC"
 
 
-def test_heap_pretouch_default():
+def test_heap_pretouch_default(monkeypatch):
     # Concurrent first-touch page faults collapse ~50x on this host class;
     # the pre-touched fixed heap is load-bearing (see BENCH/BASELINE.md).
-    opts = ENGINE_CONFS["spark.driver.extraJavaOptions"]
+    # Driver memory + java opts are BUILD-time (dynamic) confs now: a
+    # harness that imports this module and only then sets
+    # SPARK_DRIVER_MEMORY must see it take effect (round-5 review: the
+    # import-time ENGINE_CONFS capture silently ignored it).
+    opts = _dynamic_confs()["spark.driver.extraJavaOptions"]
     assert "-XX:+AlwaysPreTouch" in opts
     assert "-Xms" in opts
+    assert "spark.driver.memory" not in ENGINE_CONFS
+    assert "spark.driver.extraJavaOptions" not in ENGINE_CONFS
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "7g")
+    d = _dynamic_confs()
+    assert d["spark.driver.memory"] == "7g"
+    assert "-Xms7g" in d["spark.driver.extraJavaOptions"]
 
 
 def test_worker_malloc_env():

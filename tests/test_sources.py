@@ -123,3 +123,29 @@ def test_write_features_bucket_col_clusters_parquet(spark, tmp_path):
     assert sorted(r.v for r in back.collect()) == list(range(1000))
     files = [f for f in glob.glob(out + "/*.parquet")]
     assert 0 < len(files) <= 4  # clustered: at most one file per bucket
+
+
+def test_read_table_rejects_unknown_fmt(spark):
+    """fmt typos used to fall through to the parquet reader (confusing
+    far-away failure or silently wrong-format read) — now a plan-time
+    ValueError."""
+    import pytest
+
+    from featureextraction_jl_spark.sources.tables import read_table
+
+    with pytest.raises(ValueError, match="unknown fmt"):
+        read_table(spark, "/tmp/nope", fmt="delta")
+
+
+def test_write_features_iceberg_append_rejects_bucket_col(spark):
+    """DataFrameWriterV2.partitionedBy applies only to create/replace —
+    append() ignores it silently, so bucket_col + append must raise
+    (appends inherit the existing table's partition spec)."""
+    import pytest
+
+    from featureextraction_jl_spark.sources.tables import write_features
+
+    df = spark.createDataFrame([(1,)], "conv_id long")
+    with pytest.raises(ValueError, match="append"):
+        write_features(df, "cat.db.t", fmt="iceberg", mode="append",
+                       bucket_col="conv_id")
