@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from featureextraction_jl_spark.functions.moments import compute_moments
 from featureextraction_jl_spark.functions.pca import fit_pca, inverse_udf, project_udf
 from featureextraction_jl_spark.functions.text import (
+    LANG_STOPWORDS,
+    QUALITY_STOPWORDS,
     langid_cols,
     quality_cols,
     token_count_cols,
@@ -36,6 +38,7 @@ from featureextraction_jl_spark.functions.timeutil import epoch_seconds
 from featureextraction_jl_spark.operators.asof import asof_join
 from featureextraction_jl_spark.operators.backfill import forward_fill
 from featureextraction_jl_spark.operators.dedup import (
+    PORTABLE_HASH_HEX_CHARS,
     exact_dedup,
     latest_row,
     minhash_lsh_pairs,
@@ -729,6 +732,23 @@ Q41 = dict(num_hashes=32, bands=8, k=5, max_bucket=None)
 #: bit-identical even though 0.1 itself is not exactly representable.
 Q43_MAX_DF_FRAC = 0.1
 
+#: q43 Jaccard similarity cut, shared by the Spark call and the oracle SQL
+#: (round-5 review: the 0.5 literal lived independently on both sides —
+#: the desync hazard the Q41/Q45 shared-dict pattern exists to prevent).
+Q43_THRESHOLD = 0.5
+
+#: q42 SimHash shape, shared by the Spark call and the oracle SQL: bits =
+#: fingerprint width (oracle bit loop + vote mask), n = character-gram
+#: width (oracle substr length and position bound derive from it).
+Q42 = dict(bits=16, n=3)
+
+
+def _sql_in(words) -> str:
+    """('a','b') -> ``('a','b')`` — SQL IN-list rendered from a shared
+    constant (q39/q40 stopword sets), so the engine expression and the
+    oracle SQL consume ONE definition."""
+    return "(" + ",".join(f"'{w}'" for w in words) + ")"
+
 
 def q41_minhash_pairs(spark, sf):
     """MinHash+LSH near-dup candidates — fully DuckDB-oracled.
@@ -750,7 +770,7 @@ def q42_simhash(spark, sf):
     rebuilds the identical votes with unnested substrings + md5 in SQL.
     """
     d = _t(spark, sf, "documents")
-    return simhash(d, "text", "doc_id", bits=16, n=3, portable=True)
+    return simhash(d, "text", "doc_id", portable=True, **Q42)
 
 
 def q43_ngram_jaccard(spark, sf):
@@ -783,7 +803,8 @@ def q43_ngram_jaccard(spark, sf):
     # cap (q41's max_bucket pattern): the oracle CTE mirrors ONLY the
     # fractional pruning, and above 20k docs the default 2000 cap would
     # bind below 10%*n and silently desync the two sides.
-    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5,
+    out = ngram_jaccard_pairs(d, "text", "doc_id", n=3,
+                              threshold=Q43_THRESHOLD,
                               max_df=None, max_df_frac=Q43_MAX_DF_FRAC,
                               size_strategy="window")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1322,7 +1343,9 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(text) AS n_chars_calc,
                    UPPER(SUBSTRING(text, 1, 12)) AS head_upper,
                    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_ws_tokens,
-                   COALESCE(regexp_extract(text, '^(\\w+)', 1), '') AS first_word,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE COALESCE(regexp_extract(text, '^(\\w+)', 1), '')
+                   END AS first_word,
                    levenshtein(lang, 'en') AS lang_lev,
                    CONCAT_WS('|', lang, source) AS lang_source,
                    text LIKE '%the%' AS has_the
@@ -1399,12 +1422,12 @@ def oracle_sql() -> dict[str, str]:
         "q21_sessionize": """
             SELECT user_id, event_id,
                    CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS session_id
             FROM (SELECT user_id, event_id, ts,
                          EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
-                                                          ORDER BY ts, event_id) AS gap
+                                                          ORDER BY ts NULLS FIRST, event_id) AS gap
                   FROM events)
         """,
         "q22_lag_lead": """
@@ -1413,7 +1436,7 @@ def oracle_sql() -> dict[str, str]:
                    LEAD(value, 1) OVER w AS next_value,
                    EPOCH(ts) - LAG(EPOCH(ts)) OVER w AS gap_sec
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
         """,
         "q23_rolling_rows": """
             SELECT user_id, event_id,
@@ -1421,7 +1444,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) OVER w AS roll_max,
                    COUNT(value) OVER w AS roll_n
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "q24_rolling_time": """
@@ -1437,15 +1460,24 @@ def oracle_sql() -> dict[str, str]:
         # ASOF picks an arbitrary row among duplicate right timestamps, so
         # without the dedup the oracle is nondeterministic exactly where
         # the engine is pinned.
+        # NULL-ts left rows: the engine leaves them unmatched in every
+        # direction (asof.py nulls-first sweep), but DuckDB's sort-based
+        # ASOF MATCHES them (NULLS LAST puts them after every right ts) —
+        # exclude them from the ASOF and re-attach unmatched.
         "q25_asof_backward": """
             SELECT e.user_id, e.event_id, p.purchase_value,
                    CASE WHEN p.ts IS NOT NULL
-                             AND e.ts - p.ts <= INTERVAL 7200 SECONDS
+                             AND EPOCH(e.ts) - EPOCH(p.ts) <= 7200
                         THEN p.purchase_value END AS purchase_value_2h
-            FROM events e ASOF LEFT JOIN
+            FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+                 ASOF LEFT JOIN
                  (SELECT user_id, ts, MAX(value) AS purchase_value FROM events
                   WHERE event_type = 'purchase' GROUP BY user_id, ts) p
               ON e.user_id = p.user_id AND e.ts >= p.ts
+            UNION ALL
+            SELECT user_id, event_id, NULL AS purchase_value,
+                   NULL AS purchase_value_2h
+            FROM events WHERE ts IS NULL
         """,
         # nearest = closer of the backward / forward as-of matches; equal
         # distance resolves to the backward match (<=), mirroring asof.py.
@@ -1457,23 +1489,29 @@ def oracle_sql() -> dict[str, str]:
                         WHERE event_type = 'purchase' GROUP BY user_id, ts),
             pf AS (SELECT user_id, ts, MIN(value) AS pv FROM events
                    WHERE event_type = 'purchase' GROUP BY user_id, ts),
+            enn AS (SELECT * FROM events WHERE ts IS NOT NULL),
             b AS (SELECT e.user_id, e.event_id, e.ts, p.ts AS bts, p.pv AS bval
-                  FROM events e ASOF LEFT JOIN pb p
+                  FROM enn e ASOF LEFT JOIN pb p
                     ON e.user_id = p.user_id AND e.ts >= p.ts),
             f AS (SELECT e.event_id, p.ts AS fts, p.pv AS fval
-                  FROM events e ASOF LEFT JOIN pf p
+                  FROM enn e ASOF LEFT JOIN pf p
                     ON e.user_id = p.user_id AND e.ts <= p.ts)
             SELECT b.user_id, b.event_id, f.fval AS next_purchase,
                    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
                              EPOCH(b.ts) - EPOCH(bts) <= EPOCH(fts) - EPOCH(b.ts))
                         THEN bval ELSE fval END AS nearest_purchase
             FROM b JOIN f ON b.event_id = f.event_id
+            UNION ALL
+            -- engine: NULL-ts left rows pass through unmatched (see q25)
+            SELECT user_id, event_id, NULL AS next_purchase,
+                   NULL AS nearest_purchase
+            FROM events WHERE ts IS NULL
         """,
         "q27_backfill": """
             SELECT user_id, event_id,
                    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
                               IGNORE NULLS)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS purchase_value
             FROM events
@@ -1495,12 +1533,12 @@ def oracle_sql() -> dict[str, str]:
             WITH sess AS (
               SELECT user_id, ts,
                      CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS session_id
               FROM (SELECT user_id, event_id, ts,
                            EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
-                                                            ORDER BY ts, event_id) AS gap
+                                                            ORDER BY ts NULLS FIRST, event_id) AS gap
                     FROM events))
             SELECT user_id, session_id,
                    EPOCH(MIN(ts)) AS start_epoch,
@@ -1562,25 +1600,25 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_word_tokens
             FROM documents
         """,
-        "q39_quality_score": """
+        "q39_quality_score": f"""
             SELECT doc_id,
                    LENGTH(text) AS len,
                    LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
                    LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
                    LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                       w -> w IN ('the','and','of','a'))) AS n_stopwords,
+                       w -> w IN {_sql_in(QUALITY_STOPWORDS)})) AS n_stopwords,
                    LEN(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS n_tokens
             FROM documents
         """,
-        "q40_langid": """
+        "q40_langid": f"""
             WITH v AS (
               SELECT doc_id,
                      LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                         w -> w IN ('the','and','of','is','to'))) AS votes_en,
+                         w -> w IN {_sql_in(LANG_STOPWORDS['en'])})) AS votes_en,
                      LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                         w -> w IN ('le','la','et','de','un'))) AS votes_fr,
+                         w -> w IN {_sql_in(LANG_STOPWORDS['fr'])})) AS votes_fr,
                      LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                         w -> w IN ('der','die','und','das','ist'))) AS votes_de
+                         w -> w IN {_sql_in(LANG_STOPWORDS['de'])})) AS votes_de
               FROM documents)
             SELECT doc_id, votes_en, votes_fr, votes_de,
                    CASE WHEN votes_en >= votes_fr AND votes_en >= votes_de
@@ -1606,26 +1644,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical votes to the Spark side: distinct lowercase 3-grams,
         # 60-bit md5 hash, per-bit +/-1 vote, bit set iff vote > 0
-        "q42_simhash": """
+        "q42_simhash": f"""
             WITH grams AS (
                 SELECT doc_id,
                        ('0x' || substr(md5(unnest(list_distinct(list_transform(
-                           range(1, GREATEST(length(lower(text)) - 2, 1) + 1),
-                           i -> substr(lower(text), CAST(i AS INT), 3))))), 1, 15))::BIGINT AS h
+                           range(1, GREATEST(length(lower(text)) - {Q42['n'] - 1}, 1) + 1),
+                           i -> substr(lower(text), CAST(i AS INT), {Q42['n']}))))), 1,
+                           {PORTABLE_HASH_HEX_CHARS}))::BIGINT AS h
                 FROM documents
             ),
             votes AS (
                 SELECT doc_id, b,
                        SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
                                 THEN 1 ELSE -1 END) AS v
-                FROM grams CROSS JOIN range(0, 16) bb(b)
+                FROM grams CROSS JOIN range(0, {Q42['bits']}) bb(b)
                 GROUP BY doc_id, b
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN v > 0
+                                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(SUM(CASE WHEN v > 0
-                                 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-                                 ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id
+            -- row semantics: the Spark operator LEFT-joins fingerprints back
+            -- so a NULL-text doc (zero grams) still emits one row with
+            -- simhash 0 (dedup.py row-semantics guard); range(1, NULL)
+            -- unnests to no rows here, so mirror that join or NULL-text
+            -- docs silently vanish from the oracle (round-5 review)
+            SELECT d.doc_id, COALESCE(fp.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
         # Mirrors the Spark plan EXACTLY, including the binding stop-gram
         # pruning (DF > n_docs * frac excluded; sizes computed post-prune,
@@ -1656,7 +1704,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {Q43_THRESHOLD!r}
         """,
         "q47_media_meta": """
             SELECT doc_id,
@@ -1693,13 +1741,15 @@ def oracle_sql() -> dict[str, str]:
             WITH sess AS (
               SELECT user_id, ts, value,
                      CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS session_id
               FROM (SELECT user_id, event_id, ts, value,
                            EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
-                                                            ORDER BY ts, event_id) AS gap
-                    FROM events))
+                                                            ORDER BY ts NULLS FIRST, event_id) AS gap
+                    -- session_window DROPS NULL-ts rows on the Spark side
+                    -- (TimeWindowing's implicit isnotnull filter) — match it
+                    FROM events WHERE ts IS NOT NULL))
             SELECT user_id,
                    EPOCH(MIN(ts)) AS start_epoch,
                    COUNT(*) AS n_turns,

@@ -31,6 +31,12 @@ LANG_STOPWORDS = {
     "de": ("der", "die", "und", "das", "ist"),
 }
 
+#: q39 quality-signal stopword set — ONE constant consumed by both the
+#: engine expression (quality_cols) and the q39 oracle SQL (round-5
+#: review: the set lived as independent literals on both sides, the
+#: silent-desync hazard LANG_STOPWORDS already solves for q40)
+QUALITY_STOPWORDS = ("the", "and", "of", "a")
+
 
 def _lower_tokens(text_col: str) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
@@ -49,8 +55,7 @@ def quality_cols(text_col: str = "text") -> list[Column]:
     """``[len, n_punct, n_digits, n_stopwords, n_tokens]`` — q39's exact
     expressions (length/punctuation/digit/stopword signals)."""
     toks = _lower_tokens(text_col)
-    stop = F.size(F.filter(
-        toks, lambda w: (w == "the") | (w == "and") | (w == "of") | (w == "a")))
+    stop = F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS)))
     return [
         F.length(text_col).alias("len"),
         (F.length(text_col)

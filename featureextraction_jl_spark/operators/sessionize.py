@@ -27,8 +27,10 @@ def sessionize(df: DataFrame, key="conv_id", ts_col: str = "ts",
     w = Window.partitionBy(*key).orderBy(*[F.col(c) for c in order])
     gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     new_session = F.when(gap > F.lit(float(gap_seconds)), 1).otherwise(0)
-    running = Window.partitionBy(*key).orderBy(*[F.col(c) for c in order]) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # derive the running frame from the SAME spec — a second hand-built
+    # spec can drift (an order tweak applied to one silently misnumbers
+    # sessions)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, F.sum(new_session).over(running).cast("long"))
 
 

@@ -118,9 +118,16 @@ def _dynamic_confs() -> dict[str, str]:
 
 def engine_confs() -> dict[str, str]:
     """The full engine conf set: static ENGINE_CONFS overlaid with the
-    env-dependent confs read NOW.  Single source of truth for every entry
-    point (get_spark here, jobs/run_features.py under spark-submit)."""
-    return {**ENGINE_CONFS, **_dynamic_confs()}
+    env-dependent confs read NOW, plus the ``spark.executorEnv.*``
+    projection of WORKER_MALLOC_ENV.  Single source of truth for every
+    entry point — the executorEnv entries used to be added only inside
+    get_spark, so the spark-submit entry point (jobs/run_features.py)
+    launched cluster executors WITHOUT the BLAS-thread pinning and malloc
+    tuning (round-5 review: the exact fault-storm pathology these confs
+    exist to prevent)."""
+    return {**ENGINE_CONFS, **_dynamic_confs(),
+            **{f"spark.executorEnv.{k}": v
+               for k, v in WORKER_MALLOC_ENV.items()}}
 
 
 def get_spark(app_name: str = "featureextraction_jl_spark",
@@ -138,10 +145,8 @@ def get_spark(app_name: str = "featureextraction_jl_spark",
     for k, v in WORKER_MALLOC_ENV.items():
         os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in engine_confs().items():
+    for k, v in engine_confs().items():   # includes spark.executorEnv.*
         builder = builder.config(k, v)
-    for k, v in WORKER_MALLOC_ENV.items():
-        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -36,8 +36,8 @@ ORACLES = entrymod.oracle_sql()
 
 
 def _ts(vals):
-    return pa.array([datetime.fromisoformat(v) for v in vals],
-                    pa.timestamp("us"))
+    return pa.array([None if v is None else datetime.fromisoformat(v)
+                     for v in vals], pa.timestamp("us"))
 
 
 @pytest.fixture(scope="module")
@@ -68,6 +68,14 @@ def adv_dir(tmp_path_factory):
         # testing the cast.  A "view" row so as-of purchase matches are
         # untouched.
         (9, "2024-01-02 12:00:00", 2, "view",       0.0, '{"k": "1e20"}'),
+        # user 3: a NULL-ts row among real ones — Spark windows order ASC
+        # NULLS FIRST while DuckDB defaults to NULLS LAST, so every
+        # ascending-ts window oracle (q21/q22/q23/q27/q30) needs explicit
+        # NULLS FIRST and q50's oracle must drop NULL ts like Spark's
+        # session_window does (round-5 review)
+        (10, None,                  3, "view",      5.0,  None),
+        (11, "2024-01-03 09:00:00", 3, "purchase",  30.0, "{}"),
+        (12, "2024-01-03 09:10:00", 3, "view",      2.0,  "{}"),
     ]
     events = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -122,7 +130,15 @@ def adv_duck(adv_dir):
 
 @pytest.mark.parametrize("name", ["q25_asof_backward", "q26_asof_forward",
                                   "q19_json_fns", "q07_range_join",
-                                  "q47_media_meta"])
+                                  "q47_media_meta",
+                                  # NULL-ts ordering + NULL-text rows
+                                  # (round-5 review hardening)
+                                  "q15_string_fns", "q21_sessionize",
+                                  "q22_lag_lead", "q23_rolling_rows",
+                                  "q27_backfill", "q30_session_stats",
+                                  "q50_session_window",
+                                  "q38_token_count", "q39_quality_score",
+                                  "q40_langid", "q42_simhash"])
 def test_adversarial_parity(spark, adv_dir, adv_duck, name):
     got = QUERIES[name](spark, adv_dir).toPandas()
     want = adv_duck.execute(ORACLES[name]).fetchdf()
